@@ -1,0 +1,343 @@
+package graft
+
+import graft.sources.Payloads
+
+/** DuckDB oracle SQL for every SparkEntry query (driver Verify contract).
+  *
+  * Strategy: the transcripts table is synthesized from events.parquet by
+  * pure arithmetic (graft.sources.Transcripts), so the oracle mirrors the
+  * derivation in a CTE (`d`, column names identical to Transcripts.derived)
+  * and renders `text` from the SAME fragment specs (Payloads.textSql).
+  * Expected parse output is then recomputed directly from the derived
+  * columns — the oracle never parses text, making it an independent check
+  * of the Spark-side regex/normalize pipeline.
+  */
+object Oracle {
+
+  /** Mirrors Transcripts.derived(rep=1) over the driver-registered `events`
+    * table, DuckDB dialect.
+    */
+  val derivedCte: String = """
+d AS (
+  SELECT
+    event_id AS n,
+    event_id // 20 AS k,
+    CAST(event_id % 20 AS INT) AS s,
+    CASE WHEN event_id % 7 = 0 THEN '172.16.21.40' ELSE '172.16.21.41' END AS host,
+    CAST(CASE WHEN event_id % 7 = 0 THEN 2 ELSE 0 END AS INT) AS offh,
+    'bigip' || CAST(event_id % 3 + 1 AS VARCHAR) || '.lab' AS hostname,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+    date_trunc('second', ts) AS tsec,
+    ts AS ts2,
+    CAST(event_id % 8 AS INT) AS sev,
+    CASE WHEN (event_id // 20) % 2 = 0 THEN 'Drop' ELSE 'Allow' END AS act,
+    (['Flood attack','Sweep attack','Bad TCP flags','UDP fragment flood'])[CAST((event_id // 20) % 4 AS INT) + 1] AS aname,
+    '/Common/vs' || CAST(event_id % 4 AS VARCHAR) AS vs,
+    CAST(event_id % 5000 + 100 AS INT) AS recv,
+    CAST(event_id % 100 AS INT) AS drops,
+    CASE WHEN event_id % 11 = 0 THEN '0000000000000000'
+         ELSE '000000000000' || lpad(CAST(event_id % 9999 + 1 AS VARCHAR), 4, '0') END AS flow,
+    '10.0.' || CAST(event_id % 250 AS VARCHAR) || '.' || CAST(event_id % 97 AS VARCHAR) AS sip,
+    CAST(event_id % 40000 + 1024 AS INT) AS spt,
+    CAST(CASE WHEN (event_id // 20) % 2 = 0 THEN 80 ELSE 53 END AS INT) AS dpt,
+    '/Common/vlan' || CAST(event_id % 30 AS VARCHAR) AS vlan,
+    CAST(event_id % 100000 AS INT) AS cnt,
+    CAST(event_id % 1000 AS INT) AS ci,
+    CAST(event_id % 900 AS INT) AS cp,
+    CAST(event_id % 800 AS INT) AS ca,
+    CAST(event_id % 50 AS INT) AS cr,
+    'q' || CAST(event_id % 50 AS VARCHAR) || '.example.com' AS qn,
+    CASE WHEN (event_id // 20) % 2 = 0 THEN 'DNS Event' ELSE 'Network DoS Event' END AS cat1,
+    CASE WHEN (event_id // 20) % 2 = 0 THEN 'TPS Increased' ELSE 'Latency Increased' END AS detmode,
+    1000 + (event_id // 20) * 10 AS base,
+    CASE WHEN event_id % 20 = 3 AND (event_id // 20) % 13 = 0 THEN 999999999
+         ELSE 1000 + (event_id // 20) * 10 END AS aid_sy,
+    CASE WHEN event_id % 20 = 10 AND (event_id // 20) % 17 = 0 THEN 1000 + (event_id // 20) * 10
+         ELSE 1001 + (event_id // 20) * 10 END AS aid_afm,
+    1001 + (event_id // 20) * 10 AS aid_afm1,
+    1002 + (event_id // 20) * 10 AS aid_asm,
+    1004 + (event_id // 20) * 10 AS aid_syn,
+    CASE WHEN event_id % 10 < 3 THEN 'conv-hot-' || CAST(event_id % 10 AS VARCHAR)
+         ELSE 'conv-' || lpad(CAST(event_id % 97 AS VARCHAR), 4, '0') END AS conv_id,
+    CAST(CASE WHEN event_id % 10 < 3 THEN event_id // 10 ELSE event_id // 97 END AS INT) AS turn_idx,
+    (['user','assistant','tool','system'])[CAST(event_id % 4 AS INT) + 1] AS role,
+    (['afm','asm','dns_guard','syn_guard','none'])[CAST(event_id % 5 AS INT) + 1] AS tool
+  FROM events
+)"""
+
+  /** Derived + rendered text + the to_utc result string. */
+  def tCte: String = derivedCte + s""",
+t AS (
+  SELECT d.*,
+    ${Payloads.textSql} AS text,
+    strftime(tsec - to_hours(offh), '%Y-%m-%dT%H:%M:%S') AS utcs
+  FROM d
+)"""
+
+  /** Mitigation-method D1 table in SQL (nulls coalesced to '' like the
+    * Ruby nil comparisons).
+    */
+  private def d1(hasCtx: String, act: String, cat: String, name: String): String = s"""
+    CASE WHEN $hasCtx THEN 'Virtual Server Rate Limiting'
+         WHEN $act = 'Drop'  AND coalesce($cat,'') <> 'DNS Event' AND coalesce($name,'') NOT IN ('Flood attack','Sweep attack') THEN 'Device-Wide Rate Limiting'
+         WHEN $act = 'Allow' AND coalesce($cat,'') <> 'DNS Event' AND coalesce($name,'') NOT IN ('Flood attack','Sweep attack') THEN 'Device-Wide Detection'
+         WHEN $act = 'Drop'  AND coalesce($name,'') = 'Flood attack' THEN 'Source-IP Rate Limiting'
+         WHEN $act = 'Allow' AND coalesce($name,'') = 'Flood attack' THEN 'Source-IP Detection'
+         WHEN $act = 'Drop'  AND coalesce($name,'') = 'Sweep attack' THEN 'Source-IP Rate Limiting'
+         WHEN $act = 'Allow' AND coalesce($name,'') = 'Sweep attack' THEN 'Source-IP Detection'
+         ELSE '' END"""
+
+  /** The attacks family (pre-correlation) as per-slot UNION ALL. */
+  val attacksCte: String = s"""
+atk AS (
+  SELECT conv_id, turn_idx, ts2 AS ts, CAST(0 AS INT) AS customer_id,
+    'F5' AS device_vendor, 'Advanced Firewall Module' AS device_module,
+    '11.6.0' AS device_version, hostname AS device_hostname, host AS device_ip,
+    utcs AS device_utc_time, offh AS device_utc_offset,
+    CAST(NULL AS VARCHAR) AS policy_name, vs AS virtual_context,
+    '0' AS virtual_routing_table, 'Common' AS administration_partition,
+    CASE WHEN flow = '0000000000000000' THEN '' ELSE flow END AS flow_table_id,
+    CAST(0 AS INT) AS attack_mlp, aname AS attack_name,
+    CAST(base AS BIGINT) AS attack_id, CAST(1 AS INT) AS attack_type,
+    'Attack Started' AS attack_status, sev AS attack_severity,
+    'Network DoS Event' AS attack_category, CAST(NULL AS INT) AS attack_event_counter,
+    CAST(1 AS INT) AS attack_ongoing, CAST(NULL AS VARCHAR) AS attack_mitigation_method,
+    CAST(NULL AS VARCHAR) AS attack_mitigation_action,
+    utcs AS attack_start_date, CAST(NULL AS VARCHAR) AS attack_end_date,
+    '' AS unknown_key_value_pair, 'attacks' AS record_type,
+    'Syslog' AS remote_log_format, text AS remote_log_payload,
+    CAST(16 AS INT) AS facility, CAST(6 AS INT) AS severity
+  FROM t WHERE s = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT),
+    'F5', 'Advanced Firewall Module', '11.6.0', hostname, host,
+    utcs, offh, '', vs, '0', 'Common',
+    flow,
+    CAST(0 AS INT), 'TCP SYN flood', CAST(0 AS BIGINT), CAST(1 AS INT),
+    act, sev, 'Network DoS Event', CAST(0 AS INT),
+    CAST(0 AS INT), 'Per Virtual Server SYN Cookie', 'Cryptographic SYN Cookie',
+    utcs, utcs, '', 'attacks', 'Syslog', text,
+    CAST(16 AS INT), CAST(6 AS INT)
+  FROM t WHERE s = 4
+  UNION ALL
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT),
+    'F5', 'Advanced Firewall Module', '11.6.0', hostname, host,
+    utcs, offh, CAST(NULL AS VARCHAR), vs, '0', 'Common',
+    CASE WHEN flow = '0000000000000000' THEN '' ELSE flow END,
+    CAST(0 AS INT), aname, CAST(aid_afm AS BIGINT), CAST(1 AS INT),
+    'Attack Started', CAST(0 AS INT), 'Network DoS Event', CAST(NULL AS INT),
+    CAST(1 AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    utcs, CAST(NULL AS VARCHAR), '', 'attacks', 'CEF', text,
+    CAST(NULL AS INT), CAST(NULL AS INT)
+  FROM t WHERE s = 10
+  UNION ALL
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT),
+    'F5', 'ASM', '11.6.0', hostname, host,
+    utcs, offh, CAST(NULL AS VARCHAR), vs, '', 'Common',
+    '',
+    CAST(0 AS INT),
+    CASE WHEN detmode = 'TPS Increased' THEN 'HTTP Flood' ELSE 'HTTP Server Response Latency' END,
+    CAST(aid_asm AS BIGINT), CAST(1 AS INT),
+    'Attack started', sev, 'Application DoS Event', CAST(NULL AS INT),
+    CAST(1 AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    utcs, CAST(NULL AS VARCHAR), '', 'attacks', 'CEF', text,
+    CAST(NULL AS INT), CAST(NULL AS INT)
+  FROM t WHERE s = 14
+),
+stp AS (
+  SELECT CAST(aid_sy AS BIGINT) AS attack_id, utcs AS stop_utc, ts2 FROM t WHERE s = 3
+  UNION ALL SELECT CAST(aid_afm1 AS BIGINT), utcs, ts2 FROM t WHERE s = 13
+  UNION ALL SELECT CAST(aid_asm AS BIGINT), utcs, ts2 FROM t WHERE s = 17
+),
+idcnt AS (SELECT attack_id, count(*) AS n_same FROM atk GROUP BY 1),
+laststop AS (SELECT attack_id, arg_max(stop_utc, ts2) AS stop_utc FROM stp GROUP BY 1),
+atkc AS (
+  SELECT atk.* REPLACE (
+    CASE WHEN idcnt.n_same = 1 AND laststop.stop_utc IS NOT NULL THEN CAST(0 AS INT) ELSE attack_ongoing END AS attack_ongoing,
+    CASE WHEN idcnt.n_same = 1 AND laststop.stop_utc IS NOT NULL THEN laststop.stop_utc ELSE attack_end_date END AS attack_end_date)
+  FROM atk
+  LEFT JOIN idcnt USING (attack_id)
+  LEFT JOIN laststop USING (attack_id)
+)"""
+
+  /** attack_mitigation_stats family as per-slot UNION ALL. */
+  val statsCte: String = s"""
+sts AS (
+  -- s=1: syslog Attack Sampled with context (+DNS keys)
+  SELECT conv_id, turn_idx, ts2 AS ts, CAST(0 AS INT) AS customer_id,
+    utcs AS device_utc_time, offh AS device_utc_offset,
+    CAST(base AS BIGINT) AS attack_id, CAST(1 AS INT) AS attack_type,
+    CAST(NULL AS INT) AS attack_severity, 'Attack Sampled' AS attack_status,
+    recv AS attack_detection_rate,
+    CASE WHEN cat1 = 'DNS Event' THEN 'QPS' ELSE 'PPS' END AS attack_detection_matrix,
+    CAST(NULL AS VARCHAR) AS attack_detection_method,
+    drops AS attack_drop_rate,
+    CASE WHEN cat1 = 'DNS Event' THEN 'QPS' ELSE 'PPS' END AS attack_drop_matrix,
+    'Virtual Server Rate Limiting' AS attack_mitigation_method,
+    act AS attack_mitigation_action, '' AS attack_request_resource,
+    qn AS attack_dns_query_name, 'A' AS attack_dns_query_type,
+    sip AS attack_source_ip, CAST(spt AS VARCHAR) AS attack_source_port,
+    '' AS attack_source_vlan, '10.0.0.254' AS attack_destination_ip,
+    CAST(dpt AS VARCHAR) AS attack_destination_port, vlan AS attack_destination_vlan,
+    CAST(NULL AS VARCHAR) AS attack_start_date,
+    'attack_mitigation_stats' AS record_type, 'Syslog' AS remote_log_format,
+    text AS remote_log_payload, CAST(16 AS INT) AS facility, CAST(6 AS INT) AS severity
+  FROM t WHERE s = 1
+  UNION ALL
+  -- s=2: syslog Attack Sampled without context
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT), utcs, offh,
+    CAST(base AS BIGINT), CAST(1 AS INT), CAST(NULL AS INT), 'Attack Sampled',
+    recv, 'PPS', CAST(NULL AS VARCHAR), drops, 'PPS',
+    ${d1("FALSE", "act", "'Network DoS Event'", "NULL")},
+    act, '', '', '', sip, CAST(spt AS VARCHAR), '',
+    '10.0.0.254', CAST(dpt AS VARCHAR), vlan, CAST(NULL AS VARCHAR),
+    'attack_mitigation_stats', 'Syslog', text, CAST(16 AS INT), CAST(6 AS INT)
+  FROM t WHERE s = 2
+  UNION ALL
+  -- s=11: CEF/AFM Attack Sampled (virtual context on even episodes)
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT), utcs, offh,
+    CAST(aid_afm1 AS BIGINT), CAST(1 AS INT), CAST(0 AS INT), 'Attack Sampled',
+    recv, 'PPS', CAST(NULL AS VARCHAR), drops, 'PPS',
+    ${d1("k % 2 = 0", "act", "'Network DoS Event'", "aname")},
+    act, '', '', '', sip, CAST(spt AS VARCHAR), '',
+    '10.0.0.254', CAST(dpt AS VARCHAR), vlan, CAST(NULL AS VARCHAR),
+    'attack_mitigation_stats', 'CEF', text, CAST(NULL AS INT), CAST(NULL AS INT)
+  FROM t WHERE s = 11
+  UNION ALL
+  -- s=12 odd episodes: CEF/AFM DNS-recategorized sample (even: syncookie, zero-emission)
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT), utcs, offh,
+    CAST(aid_afm1 AS BIGINT), CAST(1 AS INT), CAST(0 AS INT), 'Attack Sampled',
+    recv, 'QPS', CAST(NULL AS VARCHAR), drops, 'QPS',
+    'Virtual Server Rate Limiting',
+    act, '', qn, 'A', sip, CAST(spt AS VARCHAR), '',
+    '10.0.0.254', CAST(dpt AS VARCHAR), '', CAST(NULL AS VARCHAR),
+    'attack_mitigation_stats', 'CEF', text, CAST(NULL AS INT), CAST(NULL AS INT)
+  FROM t WHERE s = 12 AND k % 2 <> 0
+  UNION ALL
+  -- s=14: ASM Attack started's piggy-backed Mitigation stats row
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT), utcs, offh,
+    CAST(aid_asm AS BIGINT), CAST(1 AS INT), CAST(0 AS INT), 'Mitigation stats',
+    recv, 'TPS', detmode, drops, 'TPS',
+    'Source IP-Based Rate Limiting',
+    act, '/index.php', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    sip, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    CAST(NULL AS VARCHAR),
+    'attack_mitigation_stats', 'CEF', text, CAST(NULL AS INT), CAST(NULL AS INT)
+  FROM t WHERE s = 14
+  UNION ALL
+  -- s=15/16: ASM Mitigation stats / Mitigation changed
+  SELECT conv_id, turn_idx, ts2, CAST(0 AS INT), utcs, offh,
+    CAST(aid_asm AS BIGINT), CAST(1 AS INT), sev,
+    CASE WHEN s = 15 THEN 'Mitigation stats' ELSE 'Mitigation changed' END,
+    recv, 'TPS', detmode, drops, 'TPS',
+    'Source IP-Based Rate Limiting',
+    act, '/index.php', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    sip, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    utcs,
+    'attack_mitigation_stats', 'CEF', text, CAST(NULL AS INT), CAST(NULL AS INT)
+  FROM t WHERE s IN (15, 16)
+)"""
+
+  /** traffic_stats family. */
+  val trafficCte: String = """
+tfc AS (
+  SELECT conv_id, turn_idx, ts2 AS ts,
+    utcs AS device_utc_time, offh AS device_utc_offset,
+    'F5' AS device_vendor, 'Advanced Firewall Module' AS device_module,
+    '11.6.0' AS device_version, hostname AS device_hostname, host AS device_ip,
+    vs AS virtual_context, 'Common' AS administration_partition,
+    CASE s WHEN 5 THEN 'Cryptographic SYN Cookie' WHEN 6 THEN 'Reaped Flow'
+           WHEN 7 THEN 'Active Flow' ELSE 'Missed Flow' END AS traffic_stat_type,
+    CASE WHEN s = 5 THEN CAST(NULL AS INT) ELSE cnt END AS traffic_stat_counter,
+    CASE WHEN s = 5 THEN ci ELSE CAST(NULL AS INT) END AS cookie_challenge_issued,
+    CASE WHEN s = 5 THEN cp ELSE CAST(NULL AS INT) END AS cookie_challenge_passed,
+    CASE WHEN s = 5 THEN ca ELSE CAST(NULL AS INT) END AS cookie_flow_accepted,
+    CASE WHEN s = 5 THEN cr ELSE CAST(NULL AS INT) END AS cookie_flow_rejected,
+    'traffic_stats' AS record_type, 'Syslog' AS remote_log_format,
+    text AS remote_log_payload, CAST(16 AS INT) AS facility, CAST(6 AS INT) AS severity
+  FROM t WHERE s IN (5, 6, 7, 8)
+)"""
+
+  // ---------------------------------------------------------------------
+  // Query SQL, keyed like SparkEntry.queries
+  // ---------------------------------------------------------------------
+
+  val sql: Map[String, String] = Map(
+    "q01_transcripts" -> s"""WITH $tCte
+SELECT conv_id, turn_idx, role, text, tool, ts2 AS ts FROM t
+ORDER BY conv_id, turn_idx""",
+
+    "q02_format_counts" -> s"""WITH $tCte
+SELECT CASE WHEN s <= 9 THEN 'Syslog'
+            WHEN s BETWEEN 10 AND 17 THEN 'CEF'
+            WHEN s = 19 AND k % 3 = 0 THEN 'Unknown'
+            ELSE 'CEF' END AS remote_log_format,
+       count(*) AS n_turns
+FROM t WHERE s <> 18
+GROUP BY 1 ORDER BY 1""",
+
+    "q03_pri" -> s"""WITH $tCte
+SELECT conv_id, turn_idx, CAST(16 AS INT) AS facility,
+       CAST(CASE WHEN s <= 9 THEN 6 ELSE 5 END AS INT) AS severity
+FROM t WHERE s <= 9 OR (s = 19 AND k % 3 = 0)
+ORDER BY conv_id, turn_idx""",
+
+    "q04_kv_probe" -> s"""WITH $tCte
+SELECT conv_id, turn_idx,
+  dt AS date_time,
+  CASE WHEN s = 0 THEN 'Attack Started' WHEN s IN (1,2) THEN 'Attack Sampled'
+       WHEN s = 3 THEN 'Attack Stopped' WHEN s = 4 THEN 'TCP Syncookie'
+       WHEN s = 9 THEN 'Weird Event' END AS dos_attack_event,
+  CASE WHEN s IN (0,4,9) THEN CAST(sev AS VARCHAR) END AS severity_kv,
+  hostname AS hostname_kv
+FROM t WHERE s <= 9
+ORDER BY conv_id, turn_idx""",
+
+    "q05_attacks" -> s"""WITH $tCte, $attacksCte
+SELECT * FROM atkc ORDER BY conv_id, turn_idx""",
+
+    "q06_stats" -> s"""WITH $tCte, $statsCte
+SELECT * FROM sts ORDER BY conv_id, turn_idx""",
+
+    "q07_traffic" -> s"""WITH $tCte, $trafficCte
+SELECT * FROM tfc ORDER BY conv_id, turn_idx""",
+
+    "q08_sink_counts" -> s"""WITH $tCte, $attacksCte, $statsCte, $trafficCte,
+routed AS (
+  SELECT record_type, remote_log_format, attack_severity FROM atkc
+  UNION ALL SELECT record_type, remote_log_format, attack_severity FROM sts
+  UNION ALL SELECT record_type, remote_log_format, CAST(NULL AS INT) FROM tfc
+)
+SELECT record_type, remote_log_format, attack_severity, count(*) AS n_rows
+FROM routed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q09_agg_facility" -> s"""WITH $tCte
+SELECT CAST(16 AS INT) AS facility,
+       CAST(CASE WHEN s <= 9 THEN 6 ELSE 5 END AS INT) AS severity,
+       count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+FROM t WHERE s <= 9 OR (s = 19 AND k % 3 = 0)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q10_enrich" -> s"""WITH $tCte
+SELECT CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model' ELSE 'machine' END AS role_class,
+       CASE tool WHEN 'afm' THEN 'firewall' WHEN 'asm' THEN 'appsec'
+                 WHEN 'dns_guard' THEN 'dns' WHEN 'syn_guard' THEN 'tcp' ELSE 'none' END AS tool_family,
+       count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q11_lifecycle" -> s"""WITH $tCte, $attacksCte
+SELECT attack_id, attack_status, attack_ongoing, attack_start_date, attack_end_date
+FROM atkc WHERE attack_end_date IS NOT NULL
+ORDER BY attack_id, conv_id, turn_idx""",
+
+    "q12_rejects" -> s"""WITH $tCte
+SELECT conv_id, turn_idx,
+  CASE WHEN s = 9 THEN 'unknown_dos_event'
+       WHEN s = 19 AND k % 3 = 0 THEN 'unknown_format'
+       WHEN s = 19 AND k % 3 = 1 THEN 'cef_bad_arity'
+       ELSE 'cef_unsupported_attack_type' END AS reject_reason
+FROM t WHERE s = 9 OR s = 19
+ORDER BY conv_id, turn_idx""")
+}

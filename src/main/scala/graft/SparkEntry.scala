@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F5Parse._
+import graft.operators.Pipeline
+import graft.sources.Transcripts
+
+/** Driver contract — see SURVEY.md §7 + BASELINE.json north rule.
+  *
+  * Every query runs over the deterministic transcripts synthesis
+  * (graft.sources.Transcripts over `events.parquet`) or the driver's
+  * documents/embeddings tables; each has an exact DuckDB oracle in
+  * graft.Oracle that recomputes the expected output from the generating
+  * arithmetic, independent of the Spark-side parsers.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full parse->route->aggregate over sf0.001 transcripts. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.records(spark, "/root/testdata/sf0.001")
+      .groupBy("record_type", "remote_log_format")
+      .count()
+
+  private def kvv(key: String) = element_at(col("kv"), key)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- pipeline: parse -> enrich -> normalize -> route -> aggregate ----
+    "q01_transcripts" -> ((s, dir) => {
+      Pipeline.configure(s)
+      graft.sources.TranscriptStore.table(s, dir).orderBy("conv_id", "turn_idx")
+    }),
+    "q02_format_counts" -> ((s, dir) =>
+      Pipeline.transcriptsClean(s, dir)
+        .groupBy(remoteLogFormat(col("text")).as("remote_log_format"))
+        .agg(count("*").as("n_turns"))
+        .orderBy("remote_log_format")),
+    "q03_pri" -> ((s, dir) =>
+      Pipeline.transcriptsClean(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          priFacility(col("text")).as("facility"),
+          priSeverity(col("text")).as("severity"))
+        .filter(col("facility").isNotNull)
+        .orderBy("conv_id", "turn_idx")),
+    "q04_kv_probe" -> ((s, dir) => {
+      val (sy, _) = Pipeline.bases(s, dir)
+      sy.select(col("conv_id"), col("turn_idx"),
+        kvv("date_time").as("date_time"),
+        kvv("dos_attack_event").as("dos_attack_event"),
+        kvv("severity").as("severity_kv"),
+        kvv("hostname").as("hostname_kv"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    "q05_attacks" -> ((s, dir) =>
+      Pipeline.attacksCorrelated(s, dir).orderBy("conv_id", "turn_idx")),
+    "q06_stats" -> ((s, dir) => {
+      val (sy, cef) = Pipeline.bases(s, dir)
+      Pipeline.statsAll(sy, cef).orderBy("conv_id", "turn_idx")
+    }),
+    "q07_traffic" -> ((s, dir) => {
+      val (sy, _) = Pipeline.bases(s, dir)
+      Pipeline.syslogTrafficStats(sy).orderBy("conv_id", "turn_idx")
+    }),
+    "q08_sink_counts" -> ((s, dir) =>
+      Pipeline.records(s, dir)
+        .groupBy("record_type", "remote_log_format", "attack_severity")
+        .agg(count("*").as("n_rows"))
+        .orderBy("record_type", "remote_log_format", "attack_severity")),
+    "q09_agg_facility" -> ((s, dir) =>
+      Pipeline.transcriptsClean(s, dir)
+        .select(col("conv_id"),
+          priFacility(col("text")).as("facility"),
+          priSeverity(col("text")).as("severity"))
+        .filter(col("facility").isNotNull)
+        .groupBy("facility", "severity")
+        .agg(count("*").as("n_turns"), countDistinct(col("conv_id")).as("n_convs"))
+        .orderBy("facility", "severity")),
+    "q10_enrich" -> ((s, dir) => {
+      Pipeline.configure(s)
+      graft.sources.TranscriptStore.table(s, dir)
+        .join(broadcast(Transcripts.roleDict(s)), Seq("role"))
+        .join(broadcast(Transcripts.toolDict(s)), Seq("tool"))
+        .groupBy("role_class", "tool_family")
+        .agg(count("*").as("n_turns"), countDistinct(col("conv_id")).as("n_convs"))
+        .orderBy("role_class", "tool_family")
+    }),
+    "q11_lifecycle" -> ((s, dir) =>
+      Pipeline.attacksCorrelated(s, dir)
+        .filter(col("attack_end_date").isNotNull)
+        .orderBy("attack_id", "conv_id", "turn_idx")
+        .select("attack_id", "attack_status", "attack_ongoing",
+          "attack_start_date", "attack_end_date")),
+    "q12_rejects" -> ((s, dir) =>
+      Pipeline.rejects(s, dir).orderBy("conv_id", "turn_idx")))
+
+  def oracleSql: Map[String, String] = Oracle.sql
 }
