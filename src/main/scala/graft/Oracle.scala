@@ -264,7 +264,7 @@ tfc AS (
   // Query SQL, keyed like SparkEntry.queries
   // ---------------------------------------------------------------------
 
-  val sql: Map[String, String] = Map(
+  lazy val sql: Map[String, String] = Map(
     "q01_transcripts" -> s"""WITH $tCte
 SELECT conv_id, turn_idx, role, text, tool, ts2 AS ts FROM t
 ORDER BY conv_id, turn_idx""",
@@ -339,5 +339,145 @@ SELECT conv_id, turn_idx,
        WHEN s = 19 AND k % 3 = 1 THEN 'cef_bad_arity'
        ELSE 'cef_unsupported_attack_type' END AS reject_reason
 FROM t WHERE s = 9 OR s = 19
-ORDER BY conv_id, turn_idx""")
+ORDER BY conv_id, turn_idx""") ++ dataOpsSql
+
+  // ---------------------------------------------------------------------
+  // Training-data operators over documents/embeddings (SparkEntry q20+)
+  // ---------------------------------------------------------------------
+
+  /** Shared token-signature / shingle fragments (mirror TextOps/DedupOps). */
+  private def sigsExpr: String = "list_transform(string_split(text, ' '), tk -> ascii(tk) * 131 + length(tk))"
+  private def shinglesExpr: String = s"""
+    CASE WHEN len($sigsExpr) < 3 THEN CAST([] AS BIGINT[])
+         ELSE list_distinct(list_transform(range(1, len($sigsExpr) - 1),
+           i -> ($sigsExpr[i] * 17161 + $sigsExpr[i+1] * 131 + $sigsExpr[i+2]) % 1000000007)) END"""
+
+  private def dotExpr: String =
+    "list_reduce(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+  private def dot(a: String, b: String) = dotExpr.format(a, b)
+  private def cos(a: String, b: String) =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private def bucketExpr: String = (0 until 8)
+    .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+    .mkString("(", " + ", ")")
+
+  lazy val dataOpsSql: Map[String, String] = {
+    val minhashCols = graft.operators.DedupOps.minhashParams(16).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(sh, c -> (c * $a + $b) % 1000000007)) AS m$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { bnd =>
+      val parts = (0 until 4).map(j => s"CAST(m${bnd * 4 + j} AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $bnd AS band, $parts AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+
+    Map(
+      "q20_dedup_exact" -> """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper_doc_id,
+       (COUNT(*) OVER (PARTITION BY text)) > 1 AS is_dup
+FROM documents ORDER BY doc_id""",
+
+      "q21_token_stats" -> """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the','a','of','and'))) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents ORDER BY doc_id""",
+
+      "q22_lang_guess" -> """
+SELECT doc_id, lang,
+  CASE WHEN len(list_filter(string_split(text, ' '), tk -> tk IN ('the','a'))) > 0
+       THEN 'en' ELSE 'other' END AS lang_guess,
+  CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the','a'))) AS BIGINT) AS n_marker_tokens
+FROM documents ORDER BY doc_id""",
+
+      "q23_fingerprint" -> s"""
+SELECT doc_id,
+  list_reduce($sigsExpr, (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fingerprint
+FROM documents ORDER BY doc_id""",
+
+      "q24_simhash" -> s"""
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash16
+FROM (
+  SELECT doc_id, j, SUM((((sig * 2654435761) >> j) & 1) * 2 - 1) AS s
+  FROM (SELECT doc_id, unnest($sigsExpr) AS sig FROM documents), range(0, 16) r(j)
+  GROUP BY doc_id, j)
+GROUP BY doc_id ORDER BY doc_id""",
+
+      "q25_jaccard_pairs" -> s"""
+WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM base),
+idx AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+ORDER BY doc_a, doc_b""",
+
+      "q26_minhash_lsh" -> s"""
+WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sigs AS (SELECT doc_id,
+    $minhashCols
+  FROM base),
+bands AS (
+  $bandRows)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b""",
+
+      "q27_ann_brute" -> s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, ${cos("q.qv", "e.embedding")} AS c
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank,
+    round(c, 6) AS cos_sim
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "q28_ann_lsh" -> s"""
+WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket, ${cos("q.qv", "e.embedding")} AS c
+  FROM b e JOIN q USING (bucket)),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank,
+    round(c, 6) AS cos_sim
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+      "q29_cos_dups" -> s"""
+WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+  round(${cos("x.embedding", "y.embedding")}, 6) AS cos_sim
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE ${cos("x.embedding", "y.embedding")} >= 0.25
+ORDER BY vec_a, vec_b""",
+
+      "q30_multimodal" -> """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS byte_len,
+  CAST(16 + strlen(text) % 32 AS INT) AS width,
+  CAST(16 + (strlen(text) // 32) % 32 AS INT) AS height,
+  CAST(1 + strlen(text) % 5 AS INT) AS n_frames,
+  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+  CAST(CASE WHEN 16 + strlen(text) % 32 >= 32 THEN 32 ELSE 16 END AS INT) AS resize_target
+FROM documents ORDER BY doc_id""")
+  }
 }

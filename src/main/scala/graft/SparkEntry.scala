@@ -91,7 +91,40 @@ object SparkEntry {
         .select("attack_id", "attack_status", "attack_ongoing",
           "attack_start_date", "attack_end_date")),
     "q12_rejects" -> ((s, dir) =>
-      Pipeline.rejects(s, dir).orderBy("conv_id", "turn_idx")))
+      Pipeline.rejects(s, dir).orderBy("conv_id", "turn_idx")),
+
+    // ---- training-data ops: dedup / text analysis / ANN / multimodal ----
+    "q20_dedup_exact" -> ((s, dir) =>
+      operators.DedupOps.exactDups(docs(s, dir)).orderBy("doc_id")),
+    "q21_token_stats" -> ((s, dir) =>
+      operators.TextOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "q22_lang_guess" -> ((s, dir) =>
+      operators.TextOps.langGuess(docs(s, dir)).orderBy("doc_id")),
+    "q23_fingerprint" -> ((s, dir) =>
+      operators.TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
+    "q24_simhash" -> ((s, dir) =>
+      operators.TextOps.simhash(docs(s, dir)).orderBy("doc_id")),
+    "q25_jaccard_pairs" -> ((s, dir) =>
+      operators.DedupOps.jaccardPairs(docs(s, dir), 0.12).orderBy("doc_a", "doc_b")),
+    "q26_minhash_lsh" -> ((s, dir) =>
+      operators.DedupOps.lshCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    "q27_ann_brute" -> ((s, dir) =>
+      operators.SimilarityOps.bruteTopK(emb(s, dir)).orderBy("query_id", "rank")),
+    "q28_ann_lsh" -> ((s, dir) =>
+      operators.SimilarityOps.lshTopK(emb(s, dir)).orderBy("query_id", "rank")),
+    "q29_cos_dups" -> ((s, dir) =>
+      operators.SimilarityOps.cosineDupPairs(emb(s, dir), 0.25).orderBy("vec_a", "vec_b")),
+    "q30_multimodal" -> ((s, dir) =>
+      operators.Multimodal.decodedMeta(s, docs(s, dir)).orderBy("doc_id")))
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    Pipeline.configure(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    Pipeline.configure(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+  }
 
   def oracleSql: Map[String, String] = Oracle.sql
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  * Dot products are strict left-folds in double precision so the DuckDB
+  * oracle (list_reduce) reproduces results bit-for-bit; outputs round to 6
+  * decimals as belt-and-braces.
+  */
+object SimilarityOps {
+
+  /** Strict left-fold dot product in double (bit-identical to DuckDB's
+    * list_reduce over the same element order: 0.0 + x1 == x1 exactly).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: the first `nQueries` vectors against the
+    * whole table, broadcast on the (small) query side. The correctness
+    * baseline: exact, O(nQueries * N), scales by broadcasting queries and
+    * scanning the big side once — no shuffle except the final per-query
+    * top-k (tiny after the rank filter).
+    */
+  def bruteTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Sign-LSH bucket over the first `bits` dimensions: 2^bits buckets. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Bucketed ANN (IVF-style scale path): queries probe only their own
+    * sign-LSH bucket. At 100 TB the bucket id becomes the partition key of
+    * the vector table, so a probe touches 1/2^bits of the data; candidates
+    * join on bucket (shuffle on a small key), exact rerank inside.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3, bits: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val scored = bucketed.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via the same
+    * sign-LSH bucketing (candidates must share a bucket).
+    */
+  def cosineDupPairs(emb: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

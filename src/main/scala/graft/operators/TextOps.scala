@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * All arithmetic is engine-portable (same left-fold order, same integer
+  * ops) so the DuckDB oracle reproduces results bit-for-bit; see
+  * graft.Oracle for the mirrored SQL.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents are single-space word joins). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Engine-portable token signature: first-byte code * 131 + length.
+    * Deliberately simple — the point is deterministic cross-engine
+    * reproducibility, not collision resistance.
+    */
+  def tokenSig(tok: Column): Column = ascii(tok) * lit(131L) + length(tok)
+
+  val FpMod = 1000000007L
+  val FpMul = 1000003L
+
+  /** Rolling polynomial fingerprint over token signatures, left-fold with
+    * per-step modulus (document fingerprinting for near-dup triage).
+    * Fold starts from the first element to mirror DuckDB's list_reduce.
+    */
+  def fingerprint(text: Column): Column = {
+    val sigs = transform(tokens(text), tokenSig(_))
+    aggregate(
+      slice(sigs, lit(2), size(sigs)),
+      element_at(sigs, 1),
+      (acc, x) => pmod(acc * FpMul + x, lit(FpMod)))
+  }
+
+  /** Per-document token stats + quality signals. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stop = size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      (stop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      ((length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double"))
+        .as("avg_token_len"))
+  }
+
+  /** Marker-token language-ID heuristic: a document with English marker
+    * words is guessed `en`, else `other`. (The real corpus is synthetic
+    * pseudo-English; the operator shape — marker-token scoring — is what a
+    * production n-gram LID would generalize.)
+    */
+  def langGuess(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val markers = size(filter(toks, t => t.isin("the", "a")))
+    docs.select(
+      col("doc_id"), col("lang"),
+      when(markers > 0, "en").otherwise("other").as("lang_guess"),
+      markers.cast("long").as("n_marker_tokens"))
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+
+  /** SimHash over token signatures, `bits` wide: bit j of the hash is the
+    * sign of the sum over tokens of ±1 by bit j of the spread signature.
+    * Implemented explode-side (shuffle on doc_id) — the shape that scales:
+    * at 100 TB this is a map + partial-aggregated hash agg, no driver state.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    docs
+      .select(col("doc_id"), explode(transform(tokens(col("text")), tokenSig(_))).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bits - 1))).as("j"),
+        (col("sig") * lit(2654435761L)).as("h"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("(shiftright(h, j) & 1) * 2 - 1")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
+        .as(s"simhash$bits"))
+  }
+}
