@@ -339,7 +339,17 @@ SELECT conv_id, turn_idx,
        WHEN s = 19 AND k % 3 = 1 THEN 'cef_bad_arity'
        ELSE 'cef_unsupported_attack_type' END AS reject_reason
 FROM t WHERE s = 9 OR s = 19
-ORDER BY conv_id, turn_idx""") ++ dataOpsSql
+ORDER BY conv_id, turn_idx""",
+
+    "q13_conv_stats" -> s"""WITH $tCte
+SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
+       min(ts2) AS first_ts, max(ts2) AS last_ts
+FROM t GROUP BY conv_id ORDER BY conv_id""",
+
+    "q14_turn_deltas" -> s"""WITH $tCte
+SELECT conv_id, turn_idx,
+  epoch_us(ts2) - LAG(epoch_us(ts2)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+FROM t ORDER BY conv_id, turn_idx""") ++ dataOpsSql
 
   // ---------------------------------------------------------------------
   // Training-data operators over documents/embeddings (SparkEntry q20+)

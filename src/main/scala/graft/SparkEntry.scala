@@ -92,6 +92,18 @@ object SparkEntry {
           "attack_start_date", "attack_end_date")),
     "q12_rejects" -> ((s, dir) =>
       Pipeline.rejects(s, dir).orderBy("conv_id", "turn_idx")),
+    "q13_conv_stats" -> ((s, dir) => {
+      Pipeline.configure(s)
+      operators.ConversationOps
+        .conversationStats(graft.sources.TranscriptStore.table(s, dir))
+        .orderBy("conv_id")
+    }),
+    "q14_turn_deltas" -> ((s, dir) => {
+      Pipeline.configure(s)
+      operators.ConversationOps
+        .turnDeltas(graft.sources.TranscriptStore.table(s, dir))
+        .orderBy("conv_id", "turn_idx")
+    }),
 
     // ---- training-data ops: dedup / text analysis / ANN / multimodal ----
     "q20_dedup_exact" -> ((s, dir) =>

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-conversation operators over the transcripts table, written for the
+  * hot-conversation skew the corpus deliberately injects (~30% of turns in
+  * 3 conv_ids — Transcripts scaladoc, FIXTURES.md §1).
+  */
+object ConversationOps {
+
+  /** Per-conversation aggregate with explicit two-phase salting (W5): the
+    * partial aggregate is keyed on (conv_id, salt) so a hot conversation
+    * spreads over `salt` reducers; the final aggregate combines the (tiny)
+    * partials. Results are identical to a direct groupBy — the salt only
+    * reshapes the shuffle. (Spark's hash aggregate already does map-side
+    * partials; explicit salting additionally splits the REDUCE side, which
+    * is what saves a 100 TB job when one conv_id holds 30% of the data.)
+    */
+  def conversationStats(transcripts: DataFrame, saltBuckets: Int = 8): DataFrame = {
+    val partial = transcripts
+      .groupBy(col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)).as("_salt"))
+      .agg(
+        count("*").as("_n"),
+        max("turn_idx").as("_max_turn"),
+        min("ts").as("_min_ts"),
+        max("ts").as("_max_ts"))
+    partial.groupBy("conv_id")
+      .agg(
+        sum("_n").as("n_turns"),
+        max("_max_turn").as("max_turn_idx"),
+        min("_min_ts").as("first_ts"),
+        max("_max_ts").as("last_ts"))
+  }
+
+  /** Per-conversation turn sequencing (stable (conv_id, turn_idx) order per
+    * the north rule): inter-turn gap in microseconds via a window lag.
+    * Windows cannot be salted (they need the whole partition ordered), so
+    * at scale this relies on range partitioning by (conv_id, turn_idx); the
+    * skew ceiling is the largest single conversation, not the table.
+    */
+  def turnDeltas(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    // ts is TIMESTAMP_NTZ; with the session pinned to UTC the cast to
+    // instant-typed TIMESTAMP is the identity, and unix_micros applies.
+    val us = unix_micros(col("ts").cast("timestamp"))
+    transcripts.select(
+      col("conv_id"), col("turn_idx"),
+      (us - lag(us, 1).over(w)).as("delta_us"))
+  }
+}

@@ -79,13 +79,17 @@ object DedupOps {
   def minhashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (123457L * i + 100003L, 987643L * i + 31L))
 
-  /** K-wide MinHash signature per document as an array column. */
+  /** K-wide MinHash signature per document as an array column. The shingle
+    * array is computed once into its own projection so the K per-hash mins
+    * reference it instead of inlining K copies of the shingling expression
+    * (a 16x planning/execution blowup otherwise).
+    */
   def minhashSignature(docs: DataFrame, k: Int = 16): DataFrame = {
-    val codes = shingleCodes(col("text"))
     val sig = array(minhashParams(k).map { case (a, b) =>
-      array_min(transform(codes, c => pmod(c * a + b, lit(P))))
+      array_min(transform(col("_codes"), c => pmod(c * a + b, lit(P))))
     }: _*)
-    docs.select(col("doc_id"), sig.as("minhash"))
+    docs.select(col("doc_id"), shingleCodes(col("text")).as("_codes"))
+      .select(col("doc_id"), sig.as("minhash"))
   }
 
   /** LSH banding: K/r bands of r rows; docs sharing any band bucket are

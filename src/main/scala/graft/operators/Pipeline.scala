@@ -1,18 +1,26 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F5Parse._
 import graft.sources.Transcripts
 
 /** The parse -> enrich -> normalize -> route -> aggregate pipeline over the
-  * transcripts table, as narrow (map-only) Catalyst plans: the only
-  * shuffles are the final aggregates and the W3 lifecycle correlation.
+  * transcripts table.
   *
   * Reference dataflow being re-expressed (SURVEY.md §2/§3):
   * source -> health-filter (F1) -> format-dispatch (F2) -> one-pass KV scan
   * (P3/P4) -> per-family normalize (P6-P12, D1-D7) -> explode (E1) -> route
   * by record_type (S5) -> stateful attack-lifecycle correlate (W3).
+  *
+  * Each record family's normalization is a (column-name -> expression) list
+  * shared by two consumers: the per-family DataFrames (one filtered select
+  * each — what the Verify queries use) and the single-pass `records()`
+  * assembly, which evaluates ONE table scan, builds one struct per matched
+  * branch, explodes (the E1 generator), and resolves the W3 lifecycle with
+  * a single window shuffle on attack_id. At 100 TB that shape is one narrow
+  * pass over the data plus exactly one exchange before the sinks.
   */
 object Pipeline {
 
@@ -70,12 +78,9 @@ object Pipeline {
       .filter(remoteLogFormat(col("text")) === "CEF")
       .withColumn("spl", spl)
       .filter(size(col("spl")) === 8) // bbn_cef.rb:28-62
-      .withColumn("cef_vendor", element_at(col("spl"), 2))
-      .withColumn("cef_module", element_at(col("spl"), 3))
-      .withColumn("cef_version", element_at(col("spl"), 4))
       .filter( // module dispatch + ASM attack-type guard (bbn_cef.rb:36-53)
-        col("cef_module") === "Advanced Firewall Module" ||
-          (col("cef_module") === "ASM" && element_at(col("spl"), 5) === "DOS L7 attack"))
+        element_at(col("spl"), 3) === "Advanced Firewall Module" ||
+          (element_at(col("spl"), 3) === "ASM" && element_at(col("spl"), 5) === "DOS L7 attack"))
       .withColumn("kv", kvCef(element_at(col("spl"), 8)))
       .withColumn("dyn", pairedLabels(col("kv")))
       .withColumn("facility", lit(null).cast("int"))
@@ -86,197 +91,162 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------------
-  // attacks family (README.md:260-304)
+  // Family normalizations as shared (name -> column) lists
   // ---------------------------------------------------------------------
 
-  /** syslog Attack Started -> attacks rows (bbn_syslog.rb:158-239). */
-  def syslogAttackStarts(syBase: DataFrame): DataFrame = {
+  private def common(fmt: String, payload: Column): Seq[(String, Column)] = Seq(
+    "customer_id" -> lit(0),
+    "record_type" -> lit("attacks"),
+    "remote_log_format" -> lit(fmt),
+    "remote_log_payload" -> payload,
+    "device_utc_offset" -> col("offh"))
+
+  /** syslog Attack Started -> attacks (bbn_syslog.rb:158-239). */
+  private def colsSyslogStart: Seq[(String, Column)] = {
     val utc = toUtcOrEmpty(kvv("date_time"), col("offh"))
-    syBase
-      .filter(kvv("dos_attack_event") === "Attack Started")
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        lit(0).as("customer_id"),
-        coalesce(kvv("device_vendor"), lit("")).as("device_vendor"),
-        coalesce(kvv("device_product"), lit("")).as("device_module"),
-        coalesce(kvv("device_version"), lit("")).as("device_version"),
-        coalesce(kvv("hostname"), lit("")).as("device_hostname"),
-        coalesce(kvv("bigip_mgmt_ip"), lit("")).as("device_ip"),
-        utc.as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        lit(null).cast("string").as("policy_name"),
-        coalesce(kvv("context_name"), lit("")).as("virtual_context"),
-        coalesce(kvv("route_domain"), lit("")).as("virtual_routing_table"),
-        coalesce(kvv("partition_name"), lit("")).as("administration_partition"),
-        flowTableId(kvv("flow_id")).as("flow_table_id"),
-        lit(0).as("attack_mlp"),
-        coalesce(kvv("dos_attack_name"), lit("")).as("attack_name"),
-        coalesce(kvv("dos_attack_id").cast("long"), lit(0L)).as("attack_id"),
-        lit(1).as("attack_type"),
-        coalesce(kvv("dos_attack_event"), lit("")).as("attack_status"),
-        coalesce(kvv("severity").cast("int"), lit(0)).as("attack_severity"),
-        coalesce(kvv("errdefs_msg_name"), lit("")).as("attack_category"),
-        lit(null).cast("int").as("attack_event_counter"),
-        lit(1).as("attack_ongoing"),
-        lit(null).cast("string").as("attack_mitigation_method"),
-        lit(null).cast("string").as("attack_mitigation_action"),
-        utc.as("attack_start_date"),
-        lit(null).cast("string").as("attack_end_date"),
-        lit("").as("unknown_key_value_pair"),
-        lit("attacks").as("record_type"),
-        lit("Syslog").as("remote_log_format"),
-        col("msg").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    common("Syslog", col("msg")) ++ Seq(
+      "device_vendor" -> coalesce(kvv("device_vendor"), lit("")),
+      "device_module" -> coalesce(kvv("device_product"), lit("")),
+      "device_version" -> coalesce(kvv("device_version"), lit("")),
+      "device_hostname" -> coalesce(kvv("hostname"), lit("")),
+      "device_ip" -> coalesce(kvv("bigip_mgmt_ip"), lit("")),
+      "device_utc_time" -> utc,
+      "policy_name" -> lit(null).cast("string"),
+      "virtual_context" -> coalesce(kvv("context_name"), lit("")),
+      "virtual_routing_table" -> coalesce(kvv("route_domain"), lit("")),
+      "administration_partition" -> coalesce(kvv("partition_name"), lit("")),
+      "flow_table_id" -> flowTableId(kvv("flow_id")),
+      "attack_mlp" -> lit(0),
+      "attack_name" -> coalesce(kvv("dos_attack_name"), lit("")),
+      "attack_id" -> coalesce(kvv("dos_attack_id").cast("long"), lit(0L)),
+      "attack_type" -> lit(1),
+      "attack_status" -> coalesce(kvv("dos_attack_event"), lit("")),
+      "attack_severity" -> coalesce(kvv("severity").cast("int"), lit(0)),
+      "attack_category" -> coalesce(kvv("errdefs_msg_name"), lit("")),
+      "attack_event_counter" -> lit(null).cast("int"),
+      "attack_ongoing" -> lit(1),
+      "attack_mitigation_method" -> lit(null).cast("string"),
+      "attack_mitigation_action" -> lit(null).cast("string"),
+      "attack_start_date" -> utc,
+      "attack_end_date" -> lit(null).cast("string"),
+      "unknown_key_value_pair" -> lit(""))
   }
 
-  /** syslog TCP Syncookie -> attacks rows (bbn_syslog.rb:327-411).
-    * Reference quirks replicated: no dos_attack_id arm (attack_id stays 0),
-    * no all-zero sentinel on flow_id, attack_status becomes the original
-    * action, start==end date, ongoing=0.
+  /** syslog TCP Syncookie -> attacks (bbn_syslog.rb:327-411). Quirks
+    * replicated: no dos_attack_id arm (attack_id stays 0), no all-zero
+    * sentinel on flow_id, attack_status becomes the original action,
+    * start==end date, ongoing=0.
     */
-  def syslogSyncookies(syBase: DataFrame): DataFrame = {
+  private def colsSyslogSync: Seq[(String, Column)] = {
     val utc = toUtcOrEmpty(kvv("date_time"), col("offh"))
-    syBase
-      .filter(kvv("dos_attack_event") === "TCP Syncookie")
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        lit(0).as("customer_id"),
-        coalesce(kvv("device_vendor"), lit("")).as("device_vendor"),
-        coalesce(kvv("device_product"), lit("")).as("device_module"),
-        coalesce(kvv("device_version"), lit("")).as("device_version"),
-        coalesce(kvv("hostname"), lit("")).as("device_hostname"),
-        coalesce(kvv("bigip_mgmt_ip"), lit("")).as("device_ip"),
-        utc.as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        lit("").as("policy_name"),
-        coalesce(kvv("context_name"), lit("")).as("virtual_context"),
-        coalesce(kvv("route_domain"), lit("")).as("virtual_routing_table"),
-        coalesce(kvv("partition_name"), lit("")).as("administration_partition"),
-        coalesce(kvv("flow_id"), lit("")).as("flow_table_id"),
-        lit(0).as("attack_mlp"),
-        lit("TCP SYN flood").as("attack_name"),
-        lit(0L).as("attack_id"),
-        lit(1).as("attack_type"),
-        coalesce(kvv("action"), lit("")).as("attack_status"),
-        coalesce(kvv("severity").cast("int"), lit(0)).as("attack_severity"),
-        coalesce(kvv("errdefs_msg_name"), lit("")).as("attack_category"),
-        lit(0).as("attack_event_counter"),
-        lit(0).as("attack_ongoing"),
-        lit("Per Virtual Server SYN Cookie").as("attack_mitigation_method"),
-        lit("Cryptographic SYN Cookie").as("attack_mitigation_action"),
-        utc.as("attack_start_date"),
-        utc.as("attack_end_date"),
-        lit("").as("unknown_key_value_pair"),
-        lit("attacks").as("record_type"),
-        lit("Syslog").as("remote_log_format"),
-        col("msg").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    common("Syslog", col("msg")) ++ Seq(
+      "device_vendor" -> coalesce(kvv("device_vendor"), lit("")),
+      "device_module" -> coalesce(kvv("device_product"), lit("")),
+      "device_version" -> coalesce(kvv("device_version"), lit("")),
+      "device_hostname" -> coalesce(kvv("hostname"), lit("")),
+      "device_ip" -> coalesce(kvv("bigip_mgmt_ip"), lit("")),
+      "device_utc_time" -> utc,
+      "policy_name" -> lit(""),
+      "virtual_context" -> coalesce(kvv("context_name"), lit("")),
+      "virtual_routing_table" -> coalesce(kvv("route_domain"), lit("")),
+      "administration_partition" -> coalesce(kvv("partition_name"), lit("")),
+      "flow_table_id" -> coalesce(kvv("flow_id"), lit("")),
+      "attack_mlp" -> lit(0),
+      "attack_name" -> lit("TCP SYN flood"),
+      "attack_id" -> lit(0L),
+      "attack_type" -> lit(1),
+      "attack_status" -> coalesce(kvv("action"), lit("")),
+      "attack_severity" -> coalesce(kvv("severity").cast("int"), lit(0)),
+      "attack_category" -> coalesce(kvv("errdefs_msg_name"), lit("")),
+      "attack_event_counter" -> lit(0),
+      "attack_ongoing" -> lit(0),
+      "attack_mitigation_method" -> lit("Per Virtual Server SYN Cookie"),
+      "attack_mitigation_action" -> lit("Cryptographic SYN Cookie"),
+      "attack_start_date" -> utc,
+      "attack_end_date" -> utc,
+      "unknown_key_value_pair" -> lit(""))
   }
 
-  /** CEF attacks rows: AFM Attack Started (bbn_cef.rb:282-366) and ASM
-    * Attack started (bbn_cef.rb:662-785).
+  /** CEF attacks: AFM Attack Started (bbn_cef.rb:282-366) / ASM Attack
+    * started (bbn_cef.rb:662-785); `afm` switches the module-dependent arms.
     */
-  def cefAttackStarts(cef: DataFrame): DataFrame = {
-    val afm = col("cef_module") === "Advanced Firewall Module"
+  private def colsCefStart(afm: Boolean): Seq[(String, Column)] = {
     val utc = toUtcOrEmpty(kvv("rt"), col("offh"))
-    val status = dyn("attack_status")
-    // ASM attack_name via D4 detection-mode table (bbn_cef.rb:651-660);
-    // AFM name from header pos 5 (no DNS recat on starts: needs query_type).
     val asmName = when(dyn("detection_mode") === "TPS Increased", "HTTP Flood")
       .when(dyn("detection_mode") === "Latency Increased", "HTTP Server Response Latency")
       .otherwise("")
-    val vc = when(afm, coalesce(when(dyn("virtual_name") =!= "", dyn("virtual_name")), lit("")))
-      .otherwise(coalesce(when(dyn("Virtual Server") =!= "", dyn("Virtual Server")), lit("")))
-    cef
-      .filter((afm && status === "Attack Started") || (!afm && status === "Attack started"))
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        lit(0).as("customer_id"),
-        coalesce(col("cef_vendor"), lit("")).as("device_vendor"),
-        coalesce(col("cef_module"), lit("")).as("device_module"),
-        coalesce(col("cef_version"), lit("")).as("device_version"),
-        coalesce(kvv("dvchost"), lit("")).as("device_hostname"),
-        coalesce(kvv("dvc"), lit("")).as("device_ip"),
-        utc.as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        lit(null).cast("string").as("policy_name"),
-        vc.as("virtual_context"),
-        when(afm, coalesce(kvv("F5RouteDomain"), lit(""))).otherwise("").as("virtual_routing_table"),
-        when(vc =!= "", adminPartition(vc)).otherwise("").as("administration_partition"),
-        when(afm, flowTableId(kvv("F5FlowID"))).otherwise("").as("flow_table_id"),
-        lit(0).as("attack_mlp"),
-        when(afm, element_at(col("spl"), 6)).otherwise(asmName).as("attack_name"),
-        coalesce(dyn("attack_id").cast("long"), lit(0L)).as("attack_id"),
-        lit(1).as("attack_type"),
-        coalesce(status, lit("")).as("attack_status"),
-        when(afm, 0).otherwise(coalesce(element_at(col("spl"), 7).cast("int"), lit(0)))
-          .as("attack_severity"),
-        when(afm, "Network DoS Event").otherwise("Application DoS Event").as("attack_category"),
-        lit(null).cast("int").as("attack_event_counter"),
-        lit(1).as("attack_ongoing"),
-        lit(null).cast("string").as("attack_mitigation_method"),
-        lit(null).cast("string").as("attack_mitigation_action"),
-        utc.as("attack_start_date"),
-        lit(null).cast("string").as("attack_end_date"),
-        lit("").as("unknown_key_value_pair"),
-        lit("attacks").as("record_type"),
-        lit("CEF").as("remote_log_format"),
-        col("text").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    val vcSrc = if (afm) dyn("virtual_name") else dyn("Virtual Server")
+    val vc = coalesce(when(vcSrc =!= "", vcSrc), lit(""))
+    common("CEF", col("text")) ++ Seq(
+      "device_vendor" -> coalesce(element_at(col("spl"), 2), lit("")),
+      "device_module" -> coalesce(element_at(col("spl"), 3), lit("")),
+      "device_version" -> coalesce(element_at(col("spl"), 4), lit("")),
+      "device_hostname" -> coalesce(kvv("dvchost"), lit("")),
+      "device_ip" -> coalesce(kvv("dvc"), lit("")),
+      "device_utc_time" -> utc,
+      "policy_name" -> lit(null).cast("string"),
+      "virtual_context" -> vc,
+      "virtual_routing_table" -> (if (afm) coalesce(kvv("F5RouteDomain"), lit("")) else lit("")),
+      "administration_partition" -> when(vc =!= "", adminPartition(vc)).otherwise(""),
+      "flow_table_id" -> (if (afm) flowTableId(kvv("F5FlowID")) else lit("")),
+      "attack_mlp" -> lit(0),
+      "attack_name" -> (if (afm) element_at(col("spl"), 6) else asmName),
+      "attack_id" -> coalesce(dyn("attack_id").cast("long"), lit(0L)),
+      "attack_type" -> lit(1),
+      "attack_status" -> coalesce(dyn("attack_status"), lit("")),
+      "attack_severity" ->
+        (if (afm) lit(0) else coalesce(element_at(col("spl"), 7).cast("int"), lit(0))),
+      "attack_category" -> lit(if (afm) "Network DoS Event" else "Application DoS Event"),
+      "attack_event_counter" -> lit(null).cast("int"),
+      "attack_ongoing" -> lit(1),
+      "attack_mitigation_method" -> lit(null).cast("string"),
+      "attack_mitigation_action" -> lit(null).cast("string"),
+      "attack_start_date" -> utc,
+      "attack_end_date" -> lit(null).cast("string"),
+      "unknown_key_value_pair" -> lit(""))
   }
 
-  // ---------------------------------------------------------------------
-  // attack_mitigation_stats family (README.md:326-362)
-  // ---------------------------------------------------------------------
-
-  /** syslog Attack Sampled -> stats rows (bbn_syslog.rb:31-156). Quirk
-    * pinned: attack_name is never populated in this branch, so the D1
-    * Flood/Sweep arms are unreachable and attack_severity is absent (null).
+  /** syslog Attack Sampled -> stats (bbn_syslog.rb:31-156). Quirks pinned:
+    * attack_name never populated (D1 Flood/Sweep arms unreachable) and
+    * attack_severity absent (null).
     */
-  def syslogSamples(syBase: DataFrame): DataFrame = {
+  private def colsSyslogSample: Seq[(String, Column)] = {
     val hasCtx = kvv("context_name").isNotNull
     val cat = kvv("errdefs_msg_name")
-    syBase
-      .filter(kvv("dos_attack_event") === "Attack Sampled")
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        lit(0).as("customer_id"),
-        toUtcOrEmpty(kvv("date_time"), col("offh")).as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        coalesce(kvv("dos_attack_id").cast("long"), lit(0L)).as("attack_id"),
-        lit(1).as("attack_type"),
-        lit(null).cast("int").as("attack_severity"),
-        coalesce(kvv("dos_attack_event"), lit("")).as("attack_status"),
-        coalesce(kvv("dos_packets_received").cast("int"), lit(0)).as("attack_detection_rate"),
-        rateMatrix(hasCtx, cat, "PPS").as("attack_detection_matrix"),
-        lit(null).cast("string").as("attack_detection_method"),
-        coalesce(kvv("dos_packets_dropped").cast("int"), lit(0)).as("attack_drop_rate"),
-        rateMatrix(hasCtx, cat, "PPS").as("attack_drop_matrix"),
-        mitigationMethod(hasCtx, kvv("action"), cat, lit(null), lit(""))
-          .as("attack_mitigation_method"),
-        coalesce(kvv("action"), lit("")).as("attack_mitigation_action"),
-        lit("").as("attack_request_resource"),
-        coalesce(kvv("dns_query_name"), lit("")).as("attack_dns_query_name"),
-        coalesce(kvv("dns_query_type"), lit("")).as("attack_dns_query_type"),
-        coalesce(kvv("source_ip"), lit("")).as("attack_source_ip"),
-        coalesce(kvv("source_port"), lit("")).as("attack_source_port"),
-        lit("").as("attack_source_vlan"),
-        coalesce(kvv("dest_ip"), lit("")).as("attack_destination_ip"),
-        coalesce(kvv("dest_port"), lit("")).as("attack_destination_port"),
-        coalesce(kvv("vlan"), lit("")).as("attack_destination_vlan"),
-        lit(null).cast("string").as("attack_start_date"),
-        lit("attack_mitigation_stats").as("record_type"),
-        lit("Syslog").as("remote_log_format"),
-        col("msg").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    common("Syslog", col("msg")).map {
+      case ("record_type", _) => "record_type" -> lit("attack_mitigation_stats")
+      case other => other
+    } ++ Seq(
+      "device_utc_time" -> toUtcOrEmpty(kvv("date_time"), col("offh")),
+      "attack_id" -> coalesce(kvv("dos_attack_id").cast("long"), lit(0L)),
+      "attack_type" -> lit(1),
+      "attack_severity" -> lit(null).cast("int"),
+      "attack_status" -> coalesce(kvv("dos_attack_event"), lit("")),
+      "attack_detection_rate" -> coalesce(kvv("dos_packets_received").cast("int"), lit(0)),
+      "attack_detection_matrix" -> rateMatrix(hasCtx, cat, "PPS"),
+      "attack_detection_method" -> lit(null).cast("string"),
+      "attack_drop_rate" -> coalesce(kvv("dos_packets_dropped").cast("int"), lit(0)),
+      "attack_drop_matrix" -> rateMatrix(hasCtx, cat, "PPS"),
+      "attack_mitigation_method" ->
+        mitigationMethod(hasCtx, kvv("action"), cat, lit(null), lit("")),
+      "attack_mitigation_action" -> coalesce(kvv("action"), lit("")),
+      "attack_request_resource" -> lit(""),
+      "attack_dns_query_name" -> coalesce(kvv("dns_query_name"), lit("")),
+      "attack_dns_query_type" -> coalesce(kvv("dns_query_type"), lit("")),
+      "attack_source_ip" -> coalesce(kvv("source_ip"), lit("")),
+      "attack_source_port" -> coalesce(kvv("source_port"), lit("")),
+      "attack_source_vlan" -> lit(""),
+      "attack_destination_ip" -> coalesce(kvv("dest_ip"), lit("")),
+      "attack_destination_port" -> coalesce(kvv("dest_port"), lit("")),
+      "attack_destination_vlan" -> coalesce(kvv("vlan"), lit("")),
+      "attack_start_date" -> lit(null).cast("string"))
   }
 
-  /** CEF/AFM Attack Sampled -> stats rows (bbn_cef.rb:368-527), including
-    * the DNS recategorization (bbn_cef.rb:224-242). Unlike the syslog
-    * branch, attack_name IS present here so the Flood/Sweep D1 arms fire.
+  /** CEF/AFM Attack Sampled -> stats (bbn_cef.rb:368-527) incl. DNS
+    * recategorization (bbn_cef.rb:224-242). attack_name IS present here so
+    * the Flood/Sweep D1 arms fire; severity is the hash default 0.
     */
-  def cefAfmSamples(cef: DataFrame): DataFrame = {
-    val afm = col("cef_module") === "Advanced Firewall Module"
+  private def colsCefAfmSample: Seq[(String, Column)] = {
     val utc = toUtcOrEmpty(kvv("rt"), col("offh"))
     val headerName = element_at(col("spl"), 6)
     val isDns = headerName === "DNS Event" && dyn("query_type").isNotNull
@@ -284,128 +254,147 @@ object Pipeline {
     val cat = when(isDns, "DNS Event").otherwise("Network DoS Event")
     val vcRaw = when(dyn("virtual_name") =!= "", dyn("virtual_name"))
     val hasCtx = vcRaw.isNotNull
-    val act = kvv("act")
-    cef
-      .filter(afm && dyn("attack_status") === "Attack Sampled")
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        lit(0).as("customer_id"),
-        utc.as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        coalesce(dyn("attack_id").cast("long"), lit(0L)).as("attack_id"),
-        lit(1).as("attack_type"),
-        lit(0).as("attack_severity"), // AFM never fills it; hash default 0
-        lit("Attack Sampled").as("attack_status"),
-        coalesce(dyn("dos_packets_received").cast("int"), lit(0)).as("attack_detection_rate"),
-        rateMatrix(hasCtx, cat, "PPS").as("attack_detection_matrix"),
-        lit(null).cast("string").as("attack_detection_method"),
-        coalesce(dyn("dos_packets_dropped").cast("int"), lit(0)).as("attack_drop_rate"),
-        rateMatrix(hasCtx, cat, "PPS").as("attack_drop_matrix"),
-        mitigationMethod(hasCtx, act, cat, name, lit(""))
-          .as("attack_mitigation_method"),
-        coalesce(act, lit("")).as("attack_mitigation_action"),
-        lit("").as("attack_request_resource"),
-        coalesce(dyn("query_name"), lit("")).as("attack_dns_query_name"),
-        coalesce(dyn("query_type"), lit("")).as("attack_dns_query_type"),
-        coalesce(kvv("src"), lit("")).as("attack_source_ip"),
-        coalesce(kvv("spt"), lit("")).as("attack_source_port"),
-        lit("").as("attack_source_vlan"),
-        coalesce(kvv("dst"), lit("")).as("attack_destination_ip"),
-        coalesce(kvv("dpt"), lit("")).as("attack_destination_port"),
-        coalesce(dyn("vlan"), lit("")).as("attack_destination_vlan"),
-        lit(null).cast("string").as("attack_start_date"),
-        lit("attack_mitigation_stats").as("record_type"),
-        lit("CEF").as("remote_log_format"),
-        col("text").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    common("CEF", col("text")).map {
+      case ("record_type", _) => "record_type" -> lit("attack_mitigation_stats")
+      case other => other
+    } ++ Seq(
+      "device_utc_time" -> utc,
+      "attack_id" -> coalesce(dyn("attack_id").cast("long"), lit(0L)),
+      "attack_type" -> lit(1),
+      "attack_severity" -> lit(0), // AFM never fills it; hash default 0
+      "attack_status" -> lit("Attack Sampled"),
+      "attack_detection_rate" -> coalesce(dyn("dos_packets_received").cast("int"), lit(0)),
+      "attack_detection_matrix" -> rateMatrix(hasCtx, cat, "PPS"),
+      "attack_detection_method" -> lit(null).cast("string"),
+      "attack_drop_rate" -> coalesce(dyn("dos_packets_dropped").cast("int"), lit(0)),
+      "attack_drop_matrix" -> rateMatrix(hasCtx, cat, "PPS"),
+      "attack_mitigation_method" -> mitigationMethod(hasCtx, kvv("act"), cat, name, lit("")),
+      "attack_mitigation_action" -> coalesce(kvv("act"), lit("")),
+      "attack_request_resource" -> lit(""),
+      "attack_dns_query_name" -> coalesce(dyn("query_name"), lit("")),
+      "attack_dns_query_type" -> coalesce(dyn("query_type"), lit("")),
+      "attack_source_ip" -> coalesce(kvv("src"), lit("")),
+      "attack_source_port" -> coalesce(kvv("spt"), lit("")),
+      "attack_source_vlan" -> lit(""),
+      "attack_destination_ip" -> coalesce(kvv("dst"), lit("")),
+      "attack_destination_port" -> coalesce(kvv("dpt"), lit("")),
+      "attack_destination_vlan" -> coalesce(dyn("vlan"), lit("")),
+      "attack_start_date" -> lit(null).cast("string"))
   }
 
-  /** CEF/ASM stats rows, from three branches (bbn_cef.rb:662-913):
-    * Attack started (start-derived sample: severity stays default 0 due to
-    * the unreachable elsif arm at bbn_cef.rb:741, device time copied from
-    * the start, no attack_start_date), Mitigation stats and Mitigation
-    * changed (severity populated, attack_start_date stamped).
+  /** CEF/ASM stats rows (bbn_cef.rb:662-913): Attack started's piggy-backed
+    * sample (severity stays 0 — unreachable elsif at :741, no start_date),
+    * Mitigation stats / Mitigation changed (severity set, start_date
+    * stamped).
     */
-  def cefAsmStats(cef: DataFrame): DataFrame = {
-    val asm = col("cef_module") === "ASM"
+  private def colsCefAsmStats: Seq[(String, Column)] = {
     val status = dyn("attack_status")
     val fromStart = status === "Attack started"
     val utc = toUtcOrEmpty(kvv("rt"), col("offh"))
-    cef
-      .filter(asm && status.isin("Attack started", "Mitigation stats", "Mitigation changed"))
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        lit(0).as("customer_id"),
-        utc.as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        coalesce(dyn("attack_id").cast("long"), lit(0L)).as("attack_id"),
-        lit(1).as("attack_type"),
-        when(fromStart, 0)
-          .otherwise(coalesce(element_at(col("spl"), 7).cast("int"), lit(0)))
-          .as("attack_severity"),
-        when(fromStart, "Mitigation stats").otherwise(coalesce(status, lit("")))
-          .as("attack_status"),
-        coalesce(dyn("detection_average").cast("int"), lit(0)).as("attack_detection_rate"),
-        lit("TPS").as("attack_detection_matrix"),
-        coalesce(dyn("detection_mode"), lit("")).as("attack_detection_method"),
-        coalesce(dyn("dropped_requests").cast("int"), lit(0)).as("attack_drop_rate"),
-        lit("TPS").as("attack_drop_matrix"),
-        coalesce(element_at(col("spl"), 6), lit("")).as("attack_mitigation_method"),
-        coalesce(kvv("act"), lit("")).as("attack_mitigation_action"),
-        coalesce(kvv("request"), lit("")).as("attack_request_resource"),
-        lit(null).cast("string").as("attack_dns_query_name"),
-        lit(null).cast("string").as("attack_dns_query_type"),
-        coalesce(kvv("src"), lit("")).as("attack_source_ip"),
-        lit(null).cast("string").as("attack_source_port"),
-        lit(null).cast("string").as("attack_source_vlan"),
-        lit(null).cast("string").as("attack_destination_ip"),
-        lit(null).cast("string").as("attack_destination_port"),
-        lit(null).cast("string").as("attack_destination_vlan"),
-        when(fromStart, lit(null).cast("string")).otherwise(utc).as("attack_start_date"),
-        lit("attack_mitigation_stats").as("record_type"),
-        lit("CEF").as("remote_log_format"),
-        col("text").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    common("CEF", col("text")).map {
+      case ("record_type", _) => "record_type" -> lit("attack_mitigation_stats")
+      case other => other
+    } ++ Seq(
+      "device_utc_time" -> utc,
+      "attack_id" -> coalesce(dyn("attack_id").cast("long"), lit(0L)),
+      "attack_type" -> lit(1),
+      "attack_severity" -> when(fromStart, 0)
+        .otherwise(coalesce(element_at(col("spl"), 7).cast("int"), lit(0))),
+      "attack_status" -> when(fromStart, "Mitigation stats").otherwise(coalesce(status, lit(""))),
+      "attack_detection_rate" -> coalesce(dyn("detection_average").cast("int"), lit(0)),
+      "attack_detection_matrix" -> lit("TPS"),
+      "attack_detection_method" -> coalesce(dyn("detection_mode"), lit("")),
+      "attack_drop_rate" -> coalesce(dyn("dropped_requests").cast("int"), lit(0)),
+      "attack_drop_matrix" -> lit("TPS"),
+      "attack_mitigation_method" -> coalesce(element_at(col("spl"), 6), lit("")),
+      "attack_mitigation_action" -> coalesce(kvv("act"), lit("")),
+      "attack_request_resource" -> coalesce(kvv("request"), lit("")),
+      "attack_dns_query_name" -> lit(null).cast("string"),
+      "attack_dns_query_type" -> lit(null).cast("string"),
+      "attack_source_ip" -> coalesce(kvv("src"), lit("")),
+      "attack_source_port" -> lit(null).cast("string"),
+      "attack_source_vlan" -> lit(null).cast("string"),
+      "attack_destination_ip" -> lit(null).cast("string"),
+      "attack_destination_port" -> lit(null).cast("string"),
+      "attack_destination_vlan" -> lit(null).cast("string"),
+      "attack_start_date" -> when(fromStart, lit(null).cast("string")).otherwise(utc))
   }
 
-  // ---------------------------------------------------------------------
-  // traffic_stats family (README.md:364-392)
-  // ---------------------------------------------------------------------
-
-  /** syslog Traffic Statistics x 4 stat types (bbn_syslog.rb:420-662).
-    * Gate F3/F7: no dos_attack_event key, errdefs=Traffic Statistics, stat
-    * type in the accepted four.
-    */
-  def syslogTrafficStats(syBase: DataFrame): DataFrame = {
+  /** syslog Traffic Statistics x 4 stat types (bbn_syslog.rb:420-662). */
+  private def colsTraffic: Seq[(String, Column)] = {
     val statType = kvv("traffic_stat_type")
     val isCookie = statType === "Cryptographic SYN Cookie"
-    syBase
-      .filter(kvv("dos_attack_event").isNull &&
-        kvv("errdefs_msg_name") === "Traffic Statistics" &&
-        statType.isin("Cryptographic SYN Cookie", "Reaped Flow", "Active Flow", "Missed Flow"))
-      .select(
-        col("conv_id"), col("turn_idx"), col("ts"),
-        toUtcOrEmpty(kvv("date_time"), col("offh")).as("device_utc_time"),
-        col("offh").as("device_utc_offset"),
-        coalesce(kvv("device_vendor"), lit("")).as("device_vendor"),
-        coalesce(kvv("device_product"), lit("")).as("device_module"),
-        coalesce(kvv("device_version"), lit("")).as("device_version"),
-        coalesce(kvv("hostname"), lit("")).as("device_hostname"),
-        coalesce(kvv("bigip_mgmt_ip"), lit("")).as("device_ip"),
-        coalesce(kvv("context_name"), lit("")).as("virtual_context"),
-        coalesce(kvv("partition_name"), lit("")).as("administration_partition"),
-        coalesce(statType, lit("")).as("traffic_stat_type"),
-        when(!isCookie, coalesce(kvv("traffic_stat_cnt").cast("int"), lit(null)))
-          .as("traffic_stat_counter"),
-        when(isCookie, kvv("cookie_challenge_issued").cast("int")).as("cookie_challenge_issued"),
-        when(isCookie, kvv("cookie_challenge_passed").cast("int")).as("cookie_challenge_passed"),
-        when(isCookie, kvv("cookie_flow_accepted").cast("int")).as("cookie_flow_accepted"),
-        when(isCookie, kvv("cookie_flow_rejected").cast("int")).as("cookie_flow_rejected"),
-        lit("traffic_stats").as("record_type"),
-        lit("Syslog").as("remote_log_format"),
-        col("msg").as("remote_log_payload"),
-        col("facility"), col("severity"))
+    Seq(
+      "record_type" -> lit("traffic_stats"),
+      "remote_log_format" -> lit("Syslog"),
+      "remote_log_payload" -> col("msg"),
+      "device_utc_offset" -> col("offh"),
+      "device_utc_time" -> toUtcOrEmpty(kvv("date_time"), col("offh")),
+      "device_vendor" -> coalesce(kvv("device_vendor"), lit("")),
+      "device_module" -> coalesce(kvv("device_product"), lit("")),
+      "device_version" -> coalesce(kvv("device_version"), lit("")),
+      "device_hostname" -> coalesce(kvv("hostname"), lit("")),
+      "device_ip" -> coalesce(kvv("bigip_mgmt_ip"), lit("")),
+      "virtual_context" -> coalesce(kvv("context_name"), lit("")),
+      "administration_partition" -> coalesce(kvv("partition_name"), lit("")),
+      "traffic_stat_type" -> coalesce(statType, lit("")),
+      "traffic_stat_counter" ->
+        when(!isCookie, coalesce(kvv("traffic_stat_cnt").cast("int"), lit(null))),
+      "cookie_challenge_issued" -> when(isCookie, kvv("cookie_challenge_issued").cast("int")),
+      "cookie_challenge_passed" -> when(isCookie, kvv("cookie_challenge_passed").cast("int")),
+      "cookie_flow_accepted" -> when(isCookie, kvv("cookie_flow_accepted").cast("int")),
+      "cookie_flow_rejected" -> when(isCookie, kvv("cookie_flow_rejected").cast("int")))
   }
+
+  // ---------------------------------------------------------------------
+  // Branch conditions (format dispatch + per-family guards)
+  // ---------------------------------------------------------------------
+
+  private def evt: Column = kvv("dos_attack_event")
+  private def condSyStart: Column = evt === "Attack Started"
+  private def condSySync: Column = evt === "TCP Syncookie"
+  private def condSySample: Column = evt === "Attack Sampled"
+  private def condSyStop: Column = evt === "Attack Stopped"
+  private def condTraffic: Column =
+    evt.isNull && kvv("errdefs_msg_name") === "Traffic Statistics" &&
+      kvv("traffic_stat_type").isin(
+        "Cryptographic SYN Cookie", "Reaped Flow", "Active Flow", "Missed Flow")
+  private def isAfm: Column = element_at(col("spl"), 3) === "Advanced Firewall Module"
+  private def isAsm: Column = element_at(col("spl"), 3) === "ASM"
+
+  // ---------------------------------------------------------------------
+  // Per-family DataFrames (used by the Verify queries)
+  // ---------------------------------------------------------------------
+
+  private def famSelect(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val keyed = Seq("conv_id" -> col("conv_id"), "turn_idx" -> col("turn_idx"), "ts" -> col("ts"))
+    val tail = Seq("facility" -> col("facility"), "severity" -> col("severity"))
+    df.select((keyed ++ cols ++ tail).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  def syslogAttackStarts(syBase: DataFrame): DataFrame =
+    famSelect(syBase.filter(condSyStart), colsSyslogStart)
+
+  def syslogSyncookies(syBase: DataFrame): DataFrame =
+    famSelect(syBase.filter(condSySync), colsSyslogSync)
+
+  def cefAttackStarts(cef: DataFrame): DataFrame =
+    famSelect(cef.filter(isAfm && dyn("attack_status") === "Attack Started"), colsCefStart(afm = true))
+      .unionByName(
+        famSelect(cef.filter(isAsm && dyn("attack_status") === "Attack started"), colsCefStart(afm = false)))
+
+  def syslogSamples(syBase: DataFrame): DataFrame =
+    famSelect(syBase.filter(condSySample), colsSyslogSample)
+
+  def cefAfmSamples(cef: DataFrame): DataFrame =
+    famSelect(cef.filter(isAfm && dyn("attack_status") === "Attack Sampled"), colsCefAfmSample)
+
+  def cefAsmStats(cef: DataFrame): DataFrame =
+    famSelect(cef.filter(isAsm && dyn("attack_status")
+      .isin("Attack started", "Mitigation stats", "Mitigation changed")), colsCefAsmStats)
+
+  def syslogTrafficStats(syBase: DataFrame): DataFrame =
+    famSelect(syBase.filter(condTraffic), colsTraffic)
 
   // ---------------------------------------------------------------------
   // W3: attack-lifecycle correlation
@@ -420,22 +409,20 @@ object Pipeline {
     */
   def attackStops(syBase: DataFrame, cef: DataFrame): DataFrame = {
     val syStops = syBase
-      .filter(kvv("dos_attack_event") === "Attack Stopped")
+      .filter(condSyStop)
       .select(
         coalesce(kvv("dos_attack_id").cast("long"), lit(0L)).as("attack_id"),
         toUtcOrEmpty(kvv("date_time"), col("offh")).as("stop_utc"),
         col("ts"))
-    // CEF/AFM stop: syslog-regex scan of the *whole* message
     val afmStops = cef
-      .filter(col("cef_module") === "Advanced Firewall Module" &&
-        dyn("attack_status") === "Attack Stopped")
+      .filter(isAfm && dyn("attack_status") === "Attack Stopped")
       .withColumn("sykv", kvSyslog(col("text")))
       .select(
         coalesce(element_at(col("sykv"), "dos_attack_id").cast("long"), lit(0L)).as("attack_id"),
         toUtcOrEmpty(element_at(col("sykv"), "date_time"), col("offh")).as("stop_utc"),
         col("ts"))
     val asmStops = cef
-      .filter(col("cef_module") === "ASM" && dyn("attack_status") === "Attack ended")
+      .filter(isAsm && dyn("attack_status") === "Attack ended")
       .select(
         coalesce(dyn("attack_id").cast("long"), lit(0L)).as("attack_id"),
         toUtcOrEmpty(kvv("rt"), col("offh")).as("stop_utc"),
@@ -447,9 +434,8 @@ object Pipeline {
   /** Batch MERGE replacement for the reference's per-stop synchronous ES
     * search+update: a stop closes its attack iff exactly ONE attacks row
     * carries that attack_id (hits.total==1 guard, bbn_syslog.rb:283-307);
-    * orphan stops and ambiguous ids are side-channel logged in the
-    * reference and are simply no-ops here. The last stop in stream order
-    * wins, matching sequential re-updates.
+    * orphan stops and ambiguous ids are log-only no-ops. The last stop in
+    * stream order wins, matching sequential re-updates.
     */
   def correlate(attacks: DataFrame, stops: DataFrame): DataFrame = {
     val counts = attacks.groupBy("attack_id").agg(count("*").as("n_same_id"))
@@ -466,10 +452,6 @@ object Pipeline {
       .drop("n_same_id", "stop_utc", "closed")
   }
 
-  // ---------------------------------------------------------------------
-  // Assembled views
-  // ---------------------------------------------------------------------
-
   def attacksAll(syBase: DataFrame, cef: DataFrame): DataFrame =
     syslogAttackStarts(syBase)
       .unionByName(syslogSyncookies(syBase))
@@ -480,23 +462,165 @@ object Pipeline {
       .unionByName(cefAfmSamples(cef))
       .unionByName(cefAsmStats(cef))
 
-  /** E1+S5: the full routed record stream — all three families, correlated,
-    * one superset schema discriminated by record_type, ordered stably by
-    * (conv_id, turn_idx) downstream of any sink compare.
+  // ---------------------------------------------------------------------
+  // Single-pass assembly: E1 explode + S5 routing + W3 in one scan
+  // ---------------------------------------------------------------------
+
+  /** Superset record schema (name -> Spark SQL type) for the exploded
+    * struct; every family fills a subset, the rest are typed nulls.
+    */
+  private val recSchema: Seq[(String, String)] = Seq(
+    "customer_id" -> "int",
+    "device_vendor" -> "string", "device_module" -> "string",
+    "device_version" -> "string", "device_hostname" -> "string",
+    "device_ip" -> "string", "device_utc_time" -> "string",
+    "device_utc_offset" -> "int", "policy_name" -> "string",
+    "virtual_context" -> "string", "virtual_routing_table" -> "string",
+    "administration_partition" -> "string", "flow_table_id" -> "string",
+    "attack_mlp" -> "int", "attack_name" -> "string", "attack_id" -> "bigint",
+    "attack_type" -> "int", "attack_status" -> "string",
+    "attack_severity" -> "int", "attack_category" -> "string",
+    "attack_event_counter" -> "int", "attack_ongoing" -> "int",
+    "attack_mitigation_method" -> "string", "attack_mitigation_action" -> "string",
+    "attack_detection_rate" -> "int", "attack_detection_matrix" -> "string",
+    "attack_detection_method" -> "string", "attack_drop_rate" -> "int",
+    "attack_drop_matrix" -> "string", "attack_request_resource" -> "string",
+    "attack_dns_query_name" -> "string", "attack_dns_query_type" -> "string",
+    "attack_source_ip" -> "string", "attack_source_port" -> "string",
+    "attack_source_vlan" -> "string", "attack_destination_ip" -> "string",
+    "attack_destination_port" -> "string", "attack_destination_vlan" -> "string",
+    "attack_start_date" -> "string", "attack_end_date" -> "string",
+    "unknown_key_value_pair" -> "string",
+    "traffic_stat_type" -> "string", "traffic_stat_counter" -> "int",
+    "cookie_challenge_issued" -> "int", "cookie_challenge_passed" -> "int",
+    "cookie_flow_accepted" -> "int", "cookie_flow_rejected" -> "int",
+    "record_type" -> "string", "remote_log_format" -> "string",
+    "remote_log_payload" -> "string")
+
+  private def recStruct(cols: Seq[(String, Column)]): Column = {
+    val m = cols.toMap
+    struct(recSchema.map { case (n, t) =>
+      m.getOrElse(n, lit(null).cast(t)).as(n)
+    }: _*)
+  }
+
+  /** Internal stop pseudo-records for the single-pass W3 resolution
+    * (record_type `_stop`, filtered out after correlation).
+    */
+  private def stopStruct(aid: Column, stopUtc: Column): Column = {
+    val cols = Seq[(String, Column)](
+      "record_type" -> lit("_stop"),
+      "attack_id" -> coalesce(aid.cast("long"), lit(0L)),
+      "device_utc_time" -> stopUtc)
+    when(coalesce(aid.cast("long"), lit(0L)) =!= 0L, recStruct(cols))
+  }
+
+  /** Single-pass records: ONE scan of transcripts, conditional parse into a
+    * format-appropriate kv map, one struct per matched branch, explode (the
+    * reference's 0..2-events-per-message E1), then the W3 lifecycle as one
+    * window over attack_id. The routed output is everything except the
+    * internal `_stop` rows.
     */
   def records(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {
     configure(spark)
     val t = healthFilter(
       graft.sources.TranscriptStore.table(spark, dir, rep),
       Transcripts.healthStrings(spark))
-    val offsets = Transcripts.utcOffsets(spark)
-    val sy = syslogBase(t, offsets)
-    val cef = cefBase(t, offsets)
-    val attacks = correlate(attacksAll(sy, cef), attackStops(sy, cef))
-    attacks
-      .unionByName(statsAll(sy, cef), allowMissingColumns = true)
-      .unionByName(syslogTrafficStats(sy), allowMissingColumns = true)
+    resolveLifecycle(explodedAll(t, Transcripts.utcOffsets(spark)))
   }
+
+  /** The stateless single-pass parse+explode over (health-filtered)
+    * transcripts, INCLUDING the internal `_stop` pseudo-records. Shared by
+    * the batch path (records) and Structured Streaming (StreamingPipeline),
+    * which resolve the lifecycle differently (window vs. keyed state).
+    */
+  def explodedAll(t: DataFrame, offsets: DataFrame): DataFrame = {
+    val fmt = remoteLogFormat(col("text"))
+    val isSy = col("fmt") === "Syslog"
+    val spl = split(col("text"), "\\|")
+    val cefOk = col("fmt") === "CEF" && size(col("spl")) === 8 &&
+      (isAfm || (isAsm && element_at(col("spl"), 5) === "DOS L7 attack"))
+
+    val base = t
+      .withColumn("fmt", fmt)
+      .filter(col("fmt") =!= "Unknown")
+      .withColumn("msg", when(col("fmt") === "Syslog", stripQuotes(col("text"))).otherwise(col("text")))
+      .withColumn("spl", spl)
+      .withColumn("cef_ok", cefOk)
+      .withColumn("kv",
+        when(isSy, kvSyslog(col("msg")))
+          .when(col("cef_ok"), kvCef(element_at(col("spl"), 8))))
+      .withColumn("dyn", when(col("cef_ok"), pairedLabels(col("kv"))))
+      .withColumn("facility", when(isSy, priFacility(col("text"))))
+      .withColumn("severity", when(isSy, priSeverity(col("text"))))
+      .withColumn("host", when(isSy, kvv("bigip_mgmt_ip")).otherwise(kvv("dvc")))
+      .join(broadcast(offsets), Seq("host"), "left")
+      .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
+
+    val afmStatus = dyn("attack_status")
+    // CEF/AFM stop keys come from a SYSLOG-regex scan of the raw message
+    // (bbn_cef.rb:541) — computed lazily only on matching rows.
+    val afmStopKv = kvSyslog(col("text"))
+
+    val branches = array(
+      when(isSy && condSyStart, recStruct(colsSyslogStart)),
+      when(isSy && condSySync, recStruct(colsSyslogSync)),
+      when(isSy && condSySample, recStruct(colsSyslogSample)),
+      when(isSy && condTraffic, recStruct(colsTraffic)),
+      when(isSy && condSyStop,
+        stopStruct(kvv("dos_attack_id"), toUtcOrEmpty(kvv("date_time"), col("offh")))),
+      when(col("cef_ok") && isAfm && afmStatus === "Attack Started", recStruct(colsCefStart(afm = true))),
+      when(col("cef_ok") && isAfm && afmStatus === "Attack Sampled", recStruct(colsCefAfmSample)),
+      when(col("cef_ok") && isAfm && afmStatus === "Attack Stopped",
+        stopStruct(element_at(afmStopKv, "dos_attack_id"),
+          toUtcOrEmpty(element_at(afmStopKv, "date_time"), col("offh")))),
+      when(col("cef_ok") && isAsm && afmStatus === "Attack started", recStruct(colsCefStart(afm = false))),
+      when(col("cef_ok") && isAsm && afmStatus.isin("Attack started", "Mitigation stats", "Mitigation changed"),
+        recStruct(colsCefAsmStats)),
+      when(col("cef_ok") && isAsm && afmStatus === "Attack ended",
+        stopStruct(dyn("attack_id"), toUtcOrEmpty(kvv("rt"), col("offh")))))
+
+    base
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        col("facility"), col("severity"),
+        explode(filter(branches, b => b.isNotNull)).as("rec"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        col("facility"), col("severity"), col("rec.*"))
+  }
+
+  /** W3 over the exploded stream with a NARROW exchange: lifecycle facts
+    * (start count, last stop time) aggregate over just (attack_id, ts,
+    * device_utc_time) — a few dozen bytes per row — and join back onto the
+    * full-width records. The wide rows (payload strings) never shuffle; AQE
+    * turns the join into a broadcast when the per-attack table is small,
+    * which it is by construction (episodes, not turns). The internal
+    * `_stop` rows are dropped from the routed output.
+    */
+  def resolveLifecycle(exploded: DataFrame): DataFrame = {
+    val isAtk = col("record_type") === "attacks"
+    val isStop = col("record_type") === "_stop"
+    val lifeAgg = exploded
+      .filter((isAtk || isStop) && col("attack_id") =!= 0L)
+      .select(col("attack_id"), isAtk.as("is_atk"), col("ts"), col("device_utc_time"))
+      .groupBy("attack_id")
+      .agg(
+        sum(when(col("is_atk"), 1).otherwise(0)).as("_n_starts"),
+        max(when(!col("is_atk"), struct(col("ts"), col("device_utc_time"))))
+          .getField("device_utc_time").as("_stop_utc"))
+    val closed = isAtk && col("_n_starts") === 1 && col("_stop_utc").isNotNull
+
+    exploded
+      .filter(!isStop)
+      .join(lifeAgg, Seq("attack_id"), "left")
+      .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
+      .withColumn("attack_end_date",
+        when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
+      .drop("_n_starts", "_stop_utc")
+  }
+
+  // ---------------------------------------------------------------------
+  // Entry points
+  // ---------------------------------------------------------------------
 
   /** Post-health transcripts (the pipeline's working set). */
   def transcriptsClean(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {

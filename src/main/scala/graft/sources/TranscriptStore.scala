@@ -24,7 +24,12 @@ object TranscriptStore {
     val path = storePath(dir, rep)
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) synchronized {
       if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+        // events.parquet is a single small file -> one input split; spread
+        // the synthesis (and the store layout) across the cluster so the
+        // render isn't single-threaded and downstream scans parallelize.
+        val parts = math.max(spark.sparkContext.defaultParallelism, 8)
         Transcripts.transcripts(spark, dir, rep)
+          .repartition(parts)
           .write.mode("overwrite").parquet(path)
       }
     }

@@ -52,7 +52,7 @@ object Transcripts {
       else ev
         .withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
         .withColumn("n", col("event_id") * rep + col("r"))
-        .withColumn("ts2", (col("ts").cast("long") + col("r")).cast("timestamp"))
+        .withColumn("ts2", expr("timestampadd(SECOND, r, ts)"))
         .drop("r")
 
     val n = col("n")

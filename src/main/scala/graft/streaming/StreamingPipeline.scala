@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.operators.Pipeline
+import graft.sources.Transcripts
+
+/** Structured Streaming variant of the pipeline (SURVEY.md §2.9).
+  *
+  * The stateless parse/normalize/explode is the SAME code as batch
+  * (Pipeline.explodedAll — readStream swaps in transparently because the
+  * plan is narrow); what changes is the lifecycle resolution: batch uses a
+  * window over attack_id, streaming holds per-attack state in
+  * flatMapGroupsWithState (W3) and aggregates with watermarked windows (W1).
+  */
+object StreamingPipeline {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-based streaming source over a transcripts parquet directory. */
+  def streamTranscripts(spark: SparkSession, path: String): DataFrame = {
+    Pipeline.configure(spark)
+    spark.readStream.schema(transcriptSchema).parquet(path)
+  }
+
+  /** Streaming parse->explode: identical operator graph to batch. */
+  def streamRecords(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    val clean = Pipeline.healthFilter(transcripts, Transcripts.healthStrings(spark))
+    Pipeline.explodedAll(clean, Transcripts.utcOffsets(spark))
+      .filter(col("record_type") =!= "_stop")
+  }
+
+  /** W1: per-sink windowed aggregates with late-data handling — counts and
+    * approximate distinct conversations per (1-minute window, record_type,
+    * facility, severity). Exact countDistinct is not available under
+    * watermarked append mode; HLL is the documented cheap variant
+    * (SURVEY.md §2.7).
+    */
+  def sinkCounts(records: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("record_type"),
+        col("facility"), col("severity"))
+      .agg(count("*").as("n_rows"),
+        approx_count_distinct("conv_id").as("n_convs_approx"))
+
+  // ---- W3 streaming lifecycle: flatMapGroupsWithState ----
+
+  case class LifeEvent(attack_id: Long, is_stop: Boolean, event_utc: String,
+                       ts: java.sql.Timestamp)
+  case class LifeState(nStarts: Int, startDate: String, endDate: String,
+                       closed: Boolean)
+  case class LifeUpdate(attack_id: Long, attack_ongoing: Int,
+                        attack_start_date: String, attack_end_date: String,
+                        n_starts: Int)
+
+  /** Per-attack lifecycle state machine replicating the reference's ES
+    * correlation (bbn_syslog.rb:271-324): starts accumulate; a stop closes
+    * the attack iff exactly ONE start was seen (hits.total==1), otherwise
+    * it is a log-only no-op. Emits the current resolution on every update.
+    */
+  def lifecycleFn(attackId: Long, events: Iterator[LifeEvent],
+                  state: GroupState[LifeState]): Iterator[LifeUpdate] = {
+    var s = state.getOption.getOrElse(LifeState(0, "", "", closed = false))
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      if (e.is_stop) {
+        if (s.nStarts == 1) s = s.copy(endDate = e.event_utc, closed = true)
+        // 0 or >1 starts: log-only in the reference; state unchanged
+      } else {
+        s = s.copy(nStarts = s.nStarts + 1,
+          startDate = if (s.startDate.isEmpty) e.event_utc else s.startDate)
+      }
+    }
+    state.update(s)
+    Iterator.single(LifeUpdate(attackId, if (s.closed) 0 else 1,
+      s.startDate, s.endDate, s.nStarts))
+  }
+
+  /** Keyed lifecycle over the exploded record stream (starts + `_stop`s). */
+  def lifecycle(spark: SparkSession, exploded: DataFrame): Dataset[LifeUpdate] = {
+    import spark.implicits._
+    val events = exploded
+      .filter(col("record_type").isin("attacks", "_stop") && col("attack_id") =!= 0L)
+      .select(col("attack_id"),
+        (col("record_type") === "_stop").as("is_stop"),
+        coalesce(
+          when(col("record_type") === "_stop", col("device_utc_time"))
+            .otherwise(col("attack_start_date")), lit("")).as("event_utc"),
+        col("ts"))
+      .as[LifeEvent]
+    events.groupByKey(_.attack_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(lifecycleFn)
+  }
+
+  /** End-to-end streaming job: parse -> route to per-record_type parquet
+    * sinks via foreachBatch (the streaming analog of the S5 fan-out), with
+    * checkpointing for exactly-once sink commits.
+    */
+  def routeStream(spark: SparkSession, sourcePath: String, outRoot: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val records = streamRecords(spark, streamTranscripts(spark, sourcePath))
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("record_type").parquet(outRoot)
+      }
+      .start()
+  }
+}
