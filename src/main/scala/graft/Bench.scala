@@ -37,12 +37,11 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One parse->route run: full pipeline, partitioned sink write. */
+  /** One parse->route run: single parse pass, staged partitioned sinks,
+    * MERGE-style lifecycle resolution (Router scaladoc).
+    */
   private def routeAll(spark: SparkSession, sfDir: String, rep: Int, out: String): Double =
-    time {
-      operators.Pipeline.records(spark, sfDir, rep)
-        .write.mode("overwrite").partitionBy("record_type").parquet(out)
-    }
+    time(operators.Router.route(spark, sfDir, out, rep))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

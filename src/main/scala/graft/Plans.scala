@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: dump formatted physical plans for the load-bearing
+  * queries so plan regressions (lost pushdown, surprise shuffles, dropped
+  * broadcasts, codegen breaks) are visible at a glance.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    operators.Pipeline.configure(spark)
+
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+
+    show("records (single-pass parse->route)", operators.Pipeline.records(spark, dir))
+    show("q08_sink_counts", SparkEntry.queries("q08_sink_counts")(spark, dir))
+    show("q09_agg_facility", SparkEntry.queries("q09_agg_facility")(spark, dir))
+    show("q26_minhash_lsh", SparkEntry.queries("q26_minhash_lsh")(spark, dir))
+    show("q27_ann_brute", SparkEntry.queries("q27_ann_brute")(spark, dir))
+    spark.stop()
+  }
+}

@@ -46,14 +46,20 @@ object F5Parse {
           s.substr(locate("=", s) + lit(1), length(s)).as("value"))))
   }
 
-  /** One-pass syslog KV scan -> map<string,string>.
-    * Requires spark.sql.mapKeyDedupPolicy=LAST_WIN to match the reference's
-    * last-assignment-wins elsif chains.
+  /** One-pass syslog KV scan -> map<string,string>, via the native KvScan
+    * Catalyst expression (codegen-friendly, no regex). Last-assignment-wins
+    * duplicate semantics match the reference's elsif chains.
     */
-  def kvSyslog(text: Column): Column = kvMapFromPattern(text, SyslogKvPattern)
+  def kvSyslog(text: Column): Column = KvExtract(text, cef = false)
 
   /** One-pass CEF-extension KV scan -> map<string,string> (bbn_cef.rb:64). */
-  def kvCef(text: Column): Column = kvMapFromPattern(text, CefKvPattern)
+  def kvCef(text: Column): Column = KvExtract(text, cef = true)
+
+  /** Reference regex implementations, kept as the differential baseline the
+    * native scanner is property-tested against (F5ParseSpec).
+    */
+  def kvSyslogRegex(text: Column): Column = kvMapFromPattern(text, SyslogKvPattern)
+  def kvCefRegex(text: Column): Column = kvMapFromPattern(text, CefKvPattern)
 
   /** ArcSight dynamic-label pairing (bbn_cef.rb:136-174): a key `X` paired
     * with `XLabel` becomes {value-of-XLabel: value-of-X}. The reference

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass key=value tokenizer: a custom Catalyst Expression
+  * replacing the `regexp_extract_all` + higher-order-function chain on the
+  * parse hot path (SURVEY.md §7.4's "optional perf pass" custom Expression).
+  *
+  * The hand-rolled scanner (KvScan) reproduces the EXACT match semantics of
+  * the reference regexes — bbn_syslog.rb:60 (`cef=false`) and bbn_cef.rb:64
+  * (`cef=true`), including greedy-value backtracking to the lookahead
+  * boundary, the `]` / end-of-input anchors, the no-underscore CEF key
+  * class (and its pair-poisoning effect), empty-value drops and
+  * last-assignment-wins duplicates — without java.util.regex overhead or
+  * per-row array-of-strings intermediates. Equivalence to the regex path is
+  * enforced by a differential property test (F5ParseSpec) and the DuckDB
+  * oracle.
+  *
+  * Codegen emits a single static call, so the expression stays inside
+  * WholeStageCodegen spans.
+  */
+case class KvExtract(child: Expression, cef: Boolean) extends UnaryExpression {
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
+  override def prettyName: String = "kv_extract"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KvScan.scan(input.asInstanceOf[UTF8String], cef)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KvScan.scan($c, $cef)")
+
+  override protected def withNewChildInternal(newChild: Expression): KvExtract =
+    copy(child = newChild)
+}
+
+object KvExtract {
+  def apply(c: Column, cef: Boolean): Column =
+    GraftBridge.column(KvExtract(GraftBridge.expression(c), cef))
+}
+
+object KvScan {
+
+  @inline private def isKeyChar(c: Char, cef: Boolean): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      (!cef && c == '_')
+
+  // value class is identical for both patterns: [a-zA-Z0-9:_/.\-\s]
+  @inline private def isValChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == ':' || c == '_' || c == '/' || c == '.' || c == '-' || isWs(c)
+
+  // java.util.regex \s = [ \t\n\x0B\f\r]
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Lookahead boundary at position j: `\]` (syslog) / end-of-input (CEF) /
+    * `\s[key-class]+=`.
+    */
+  private def boundaryAt(s: String, j: Int, n: Int, cef: Boolean): Boolean = {
+    if (!cef && j < n && s.charAt(j) == ']') return true
+    if (cef && j == n) return true
+    if (j < n && isWs(s.charAt(j))) {
+      var p = j + 1
+      val st = p
+      while (p < n && isKeyChar(s.charAt(p), cef)) p += 1
+      p > st && p < n && s.charAt(p) == '='
+    } else false
+  }
+
+  /** One pass over the text; returns map<string,string>, last-wins dups,
+    * empty values dropped (Ruby `entry[1] != nil` guards).
+    */
+  def scan(input: UTF8String, cef: Boolean): MapData = {
+    val s = input.toString
+    val n = s.length
+    val out = new java.util.LinkedHashMap[String, String]()
+    var i = 0
+    while (i < n) {
+      if (isKeyChar(s.charAt(i), cef)) {
+        var k = i
+        while (k < n && isKeyChar(s.charAt(k), cef)) k += 1
+        if (k < n && s.charAt(k) == '=') {
+          var e = k
+          while (e < n && s.charAt(e) == '=') e += 1 // [=]+ greedy
+          var v = e
+          while (v < n && isValChar(s.charAt(v))) v += 1
+          // greedy value with backtracking: longest j with a boundary
+          var j = v
+          var found = -1
+          while (j >= e && found < 0) {
+            if (boundaryAt(s, j, n, cef)) found = j else j -= 1
+          }
+          if (found >= 0) {
+            // Ruby split("=") key/value; value runs from after the FIRST '='
+            val value = s.substring(k + 1, found)
+            if (value.nonEmpty) out.put(s.substring(i, k), value)
+            i = found // find() resumes at match end (lookahead not consumed)
+          } else {
+            i += 1 // no boundary reachable: regex advances one position
+          }
+        } else {
+          i = k // shorter starts inside this key run fail identically
+        }
+      } else {
+        i += 1
+      }
+    }
+    val keys = new Array[Any](out.size)
+    val vals = new Array[Any](out.size)
+    var idx = 0
+    val it = out.entrySet().iterator()
+    while (it.hasNext) {
+      val entry = it.next()
+      keys(idx) = UTF8String.fromString(entry.getKey)
+      vals(idx) = UTF8String.fromString(entry.getValue)
+      idx += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+
+/** S5 routed-sink writer, MERGE-shaped for scale.
+  *
+  * `Pipeline.records` as a pure DataFrame resolves the W3 lifecycle by
+  * re-deriving the narrow lifecycle facts from the source — at 100 TB that
+  * is a second full scan+parse of the input. The routed write avoids it:
+  *
+  *   phase 1  parse ONCE -> stage every partition (incl. the internal
+  *            `_stop` rows) as parquet;
+  *   phase 2  read back only (attack_id, ts, device_utc_time) from the
+  *            attacks/_stop partitions — a column-pruned columnar read of a
+  *            tiny fraction of the routed bytes — aggregate the lifecycle
+  *            facts, and rewrite ONLY the attacks partition (the MERGE);
+  *            all other partitions promote by rename (a metadata commit,
+  *            the local-FS stand-in for an Iceberg snapshot commit).
+  *
+  * Net cost: one full parse pass + one small read + one small rewrite,
+  * versus two full parse passes for the naive plan.
+  */
+object Router {
+
+  val FinalPartitions: Seq[String] = Seq("attacks", "attack_mitigation_stats", "traffic_stats")
+
+  private def rmrf(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Parse once and fan out to per-record_type parquet sinks under
+    * `outRoot/record_type=X`; returns the routed row count per partition.
+    */
+  def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1): Map[String, Long] = {
+    Pipeline.configure(spark)
+    val staged = s"$outRoot/_staged"
+    rmrf(Paths.get(outRoot))
+
+    // phase 1: one scan, one parse, all partitions staged
+    val t = Pipeline.healthFilter(
+      graft.sources.TranscriptStore.table(spark, dir, rep),
+      Transcripts.healthStrings(spark))
+    Pipeline.explodedAll(t, Transcripts.utcOffsets(spark))
+      .write.mode("overwrite").partitionBy("record_type").parquet(staged)
+
+    // phase 2: lifecycle facts from a narrow read-back of the staged sinks
+    val back = spark.read.parquet(staged)
+    val isAtk = col("record_type") === "attacks"
+    val lifeAgg = back
+      .filter(col("record_type").isin("attacks", "_stop") && col("attack_id") =!= 0L)
+      .select(col("attack_id"), isAtk.as("is_atk"), col("ts"), col("device_utc_time"))
+      .groupBy("attack_id")
+      .agg(
+        sum(when(col("is_atk"), 1).otherwise(0)).as("_n_starts"),
+        max(when(!col("is_atk"), struct(col("ts"), col("device_utc_time"))))
+          .getField("device_utc_time").as("_stop_utc"))
+    val closed = col("_n_starts") === 1 && col("_stop_utc").isNotNull
+    back.filter(isAtk)
+      .join(lifeAgg, Seq("attack_id"), "left")
+      .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
+      .withColumn("attack_end_date",
+        when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
+      .drop("_n_starts", "_stop_utc", "record_type")
+      .write.mode("overwrite").parquet(s"$outRoot/record_type=attacks")
+
+    // promote untouched partitions by rename; drop the _stop staging
+    FinalPartitions.filterNot(_ == "attacks").foreach { p =>
+      val src = Paths.get(staged, s"record_type=$p")
+      if (Files.exists(src))
+        Files.move(src, Paths.get(outRoot, s"record_type=$p"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    rmrf(Paths.get(staged))
+
+    FinalPartitions.map { p =>
+      val path = s"$outRoot/record_type=$p"
+      p -> (if (Files.exists(Paths.get(path))) spark.read.parquet(path).count() else 0L)
+    }.toMap
+  }
+
+  /** Routed sinks -> one DataFrame (for equivalence checks). */
+  def readRouted(spark: SparkSession, outRoot: String): DataFrame =
+    FinalPartitions.map(p => spark.read.parquet(s"$outRoot/record_type=$p")
+        .withColumn("record_type", lit(p)))
+      .reduce(_.unionByName(_))
+}

@@ -50,6 +50,9 @@ object Transcripts {
     val amplified =
       if (rep <= 1) ev.withColumn("n", col("event_id")).withColumn("ts2", col("ts"))
       else ev
+        // events.parquet is one small file (one input split); spread the
+        // rows BEFORE the explode so amplification renders in parallel
+        .repartition(math.max(spark.sparkContext.defaultParallelism, 8))
         .withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
         .withColumn("n", col("event_id") * rep + col("r"))
         .withColumn("ts2", expr("timestampadd(SECOND, r, ts)"))

@@ -110,6 +110,35 @@ class F5ParseSpec extends SparkSpec {
     }
   }
 
+  test("native KvScan is byte-equivalent to the reference regex on adversarial input") {
+    // fragments biased toward the scanner's edge cases: underscore keys,
+    // multi-equals, empty values, brackets, trailing pairs, ws runs
+    val frag = Gen.oneOf(
+      Gen.const("a=1 "), Gen.const("date_time=2015-03-22 10:01:02 "),
+      Gen.const("k= "), Gen.const("x==y "), Gen.const("] "), Gen.const("["),
+      Gen.const("cs1Label=attack_status"), Gen.const("w_k=v "),
+      Gen.const("  "), Gen.const("\t"), Gen.const("zz=0]"),
+      Gen.const("dvc=1.2.3.4 "), Gen.const("no-eq-token "),
+      Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('=', ' ', ']', '_', '-', '.', '/'))).map(_.mkString))
+    val gen = Gen.listOf(frag).map(_.mkString)
+    val inputs = samples(gen, 200) ++ Seq(
+      "", "=", "==", "a=", "a=b", "[a=b]", "a=b ", " a=b c=d", "a=b\tc=d e=]",
+      "k=v1 k=v2]", // duplicate keys: last wins
+      "a=1 date_time=2015 b=2", // CEF pair-poisoning shape
+      "date_time=x dos_attack_id=9 zz=0 dvchost=h cn3=9 cn3Label=attack_id")
+    Seq(false, true).foreach { cef =>
+      val df = inputs.toDF("text").select(
+        (if (cef) F5Parse.kvCef(col("text")) else F5Parse.kvSyslog(col("text"))).as("native"),
+        (if (cef) F5Parse.kvCefRegex(col("text")) else F5Parse.kvSyslogRegex(col("text"))).as("regex"),
+        col("text"))
+      df.collect().foreach { r =>
+        val native = Option(r.getMap[String, String](0)).map(_.toMap).getOrElse(Map.empty)
+        val regex = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
+        assert(native == regex, s"cef=$cef input=${r.getString(2)}")
+      }
+    }
+  }
+
   test("mitigation decision table D1 truth table (bbn_syslog.rb:104-145)") {
     val cases = Seq(
       // (hasCtx, action, category, name) -> expected
