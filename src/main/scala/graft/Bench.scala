@@ -3,16 +3,21 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): times every SparkEntry query at the
-  * configured parallelism, then measures end-to-end parse->route throughput
-  * (turns/sec) on an amplified transcripts table at two parallelism levels
-  * (local[8] vs local[32]) — the sandbox stand-in for the north rule's
-  * N-vs-4N-executor scaling criterion — and reports the scaling efficiency.
+/** Benchmark main (driver contract): times every SparkEntry query, then
+  * measures end-to-end parse->route throughput (turns/sec) at two
+  * parallelism levels — local[8] vs local[32], the sandbox stand-in for the
+  * north rule's N-vs-4N-executor criterion — and reports the scaling
+  * efficiency.
+  *
+  * Each scaling measurement runs in a FRESH child JVM (one warmup route +
+  * one timed route): long-lived JVMs accumulate JIT/GC state that swings
+  * repeat timings several-fold, so sharing one JVM across levels produces
+  * junk comparisons.
   *
   * Prints exactly ONE JSON line on stdout and refreshes BENCH/BASELINE.md.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32),
-  * SPARK_GRAFT_REP (amplification, default 16), SPARK_GRAFT_SCALING=0 to
+  * SPARK_GRAFT_REP (amplification, default 64), SPARK_GRAFT_SCALING=0 to
   * skip the two-level run.
   */
 object Bench {
@@ -37,46 +42,72 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One parse->route run: single parse pass, staged partitioned sinks,
-    * MERGE-style lifecycle resolution (Router scaladoc).
-    */
-  private def routeAll(spark: SparkSession, sfDir: String, rep: Int, out: String): Double =
-    time(operators.Router.route(spark, sfDir, out, rep))
+  /** Child-JVM mode: one warmup route + one timed route at `cpus`. */
+  private def routeChild(cpus: Int, sfDir: String, rep: Int): Unit = {
+    val spark = build(cpus)
+    sources.TranscriptStore.table(spark, sfDir, rep) // materialized already
+    operators.Router.route(spark, sfDir, s"/root/repo/target/bench/warm$cpus", rep)
+    val sec = time(operators.Router.route(spark, sfDir, s"/root/repo/target/bench/sink$cpus", rep))
+    println(f"ROUTE_SECONDS=$sec%.3f")
+    spark.stop()
+  }
+
+  /** Spawn a fresh JVM running routeChild; returns the timed seconds. */
+  private def spawnRoute(cpus: Int, sfDir: String, rep: Int): Double = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(java) ++ addOpens ++ Seq(
+      "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--route", cpus.toString, sfDir, rep.toString)).toArray
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    "ROUTE_SECONDS=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+      .getOrElse {
+        System.err.println(s"[bench] child cpus=$cpus failed:\n" + out.takeRight(2000))
+        -1.0
+      }
+  }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 4 && args(0) == "--route") {
+      routeChild(args(1).toInt, args(2), args(3).toInt)
+      return
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "16").toInt
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "64").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val sinkDir = "/root/repo/target/bench/sinks"
 
     // ---- per-query timings at the configured parallelism ----
-    var spark = build(cpus)
+    val spark = build(cpus)
     // input materialization (the "Iceberg table") is setup, not workload
     sources.TranscriptStore.table(spark, sfDir)
-    sources.TranscriptStore.table(spark, sfDir, rep)
     val nTurns = sources.TranscriptStore.table(spark, sfDir, rep).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
     }
+    spark.stop()
 
-    // ---- end-to-end throughput at the configured parallelism ----
-    val secMain = routeAll(spark, sfDir, rep, sinkDir)
+    // ---- end-to-end throughput in fresh child JVMs ----
+    val secMain = spawnRoute(cpus, sfDir, rep)
     val thruMain = nTurns / secMain
-
-    // ---- scaling: identical job at local[8] vs local[32] ----
     val scaling: Option[(Double, Double, Double)] = if (doScaling) {
-      spark.stop()
-      val s8 = build(8)
-      val sec8 = routeAll(s8, sfDir, rep, sinkDir + "8")
-      s8.stop()
-      val s32 = build(32)
-      val sec32 = routeAll(s32, sfDir, rep, sinkDir + "32")
-      spark = s32
-      val thru8 = nTurns / sec8
-      val thru32 = nTurns / sec32
-      Some((thru8, thru32, (thru32 / thru8) / 4.0))
+      val sec8 = spawnRoute(8, sfDir, rep)
+      val sec32 = spawnRoute(32, sfDir, rep)
+      val (t8, t32) = (nTurns / sec8, nTurns / sec32)
+      Some((t8, t32, (t32 / t8) / 4.0))
     } else None
 
     val total = results.map(_._2).sum
@@ -91,21 +122,21 @@ object Bench {
     Files.createDirectories(Paths.get("/root/repo/BENCH"))
     val md = new StringBuilder
     md ++= "# BENCH/BASELINE — measured numbers (latest run)\n\n"
-    md ++= s"Input: transcripts synthesized from `$sfDir/events.parquet` x$rep = $nTurns turns.\n\n"
+    md ++= s"Input: transcripts synthesized from `$sfDir/events.parquet` x$rep = $nTurns turns.\n"
+    md ++= "Each scaling point = fresh JVM, one warmup route + one timed route\n"
+    md ++= "(parse once -> staged partitioned parquet sinks -> MERGE lifecycle rewrite).\n\n"
     md ++= "## End-to-end parse->route throughput (turns/sec)\n\n"
     md ++= "| parallelism | seconds | turns/sec |\n|---|---|---|\n"
     md ++= f"| local[$cpus] (bench run) | $secMain%.2f | $thruMain%.0f |\n"
     scaling.foreach { case (t8, t32, eff) =>
       md ++= f"| local[8]  | ${nTurns / t8}%.2f | $t8%.0f |\n"
       md ++= f"| local[32] | ${nTurns / t32}%.2f | $t32%.0f |\n"
-      md ++= f"\nScaling efficiency local[8]->local[32] (the sandbox stand-in for N->4N executors): **$eff%.3f** (target >= 0.8).\n"
+      md ++= f"\nScaling efficiency local[8]->local[32] (sandbox stand-in for N->4N executors): **$eff%.3f** (target >= 0.8).\n"
     }
-    md ++= "\n## Per-query seconds (count-forced, includes plan+exec)\n\n| query | sec |\n|---|---|\n"
+    md ++= "\n## Per-query seconds (count-forced, includes plan+exec; single shared session)\n\n| query | sec |\n|---|---|\n"
     results.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     md ++= "\nReference baseline: the reference plugin publishes no numbers (BASELINE.md); "
-    md ++= "its architecture is single-threaded per-socket Ruby with a blocking ES RPC per stop event.\n"
+    md ++= "its architecture is single-threaded-per-socket Ruby with a blocking ES RPC per stop event.\n"
     Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md.toString)
-
-    spark.stop()
   }
 }

@@ -30,10 +30,14 @@ object DedupOps {
   }
 
   /** Distinct word-3-gram shingle codes per document (polynomial over
-    * token signatures; values < P so no overflow).
+    * token signatures; values < P so no overflow). Use `withShingles` in
+    * plans: referencing `sigs` inside the per-element lambda would re-derive
+    * the whole signature array per shingle otherwise.
     */
-  def shingleCodes(text: Column): Column = {
-    val sigs = transform(tokens(text), tokenSig(_))
+  def shingleCodes(text: Column): Column =
+    shingleCodesFrom(transform(tokens(text), tokenSig(_)))
+
+  private def shingleCodesFrom(sigs: Column): Column =
     // sequence() descends when start > stop, so guard short documents
     when(size(sigs) < 3, array().cast("array<bigint>")).otherwise(
       array_distinct(
@@ -41,11 +45,22 @@ object DedupOps {
           pmod(element_at(sigs, i) * lit(131L * 131L)
             + element_at(sigs, i + 1) * lit(131L)
             + element_at(sigs, i + 2), lit(P)))))
-  }
+
+  /** docs + a materialized `_codes` column: the signature array lands in
+    * its own projection first, so the shingle lambda's three element_at
+    * references share ONE evaluation per row instead of re-deriving the
+    * array per element (a >100x per-row blowup otherwise; CollapseProject
+    * keeps multi-referenced non-cheap aliases materialized).
+    */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_sigs", transform(tokens(col("text")), tokenSig(_)))
+      .withColumn("_codes", shingleCodesFrom(col("_sigs")))
+      .drop("_sigs")
 
   /** doc_id -> exploded distinct shingle codes (the inverted index). */
   def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingleCodes(col("text"))).as("shingle"))
+    withShingles(docs).select(col("doc_id"), explode(col("_codes")).as("shingle"))
 
   /** n-gram Jaccard near-dup pairs above `threshold`, via shingle-join:
     * candidates share >=1 shingle, intersection counted by the join,
@@ -54,8 +69,8 @@ object DedupOps {
     * corpus needs no cap).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sizes = docs.select(col("doc_id"),
-      size(shingleCodes(col("text"))).cast("long").as("n_shingles"))
+    val sizes = withShingles(docs).select(col("doc_id"),
+      size(col("_codes")).cast("long").as("n_shingles"))
     val idx = shingleIndex(docs)
     val a = idx.as("a")
     val b = idx.as("b")
@@ -88,8 +103,7 @@ object DedupOps {
     val sig = array(minhashParams(k).map { case (a, b) =>
       array_min(transform(col("_codes"), c => pmod(c * a + b, lit(P))))
     }: _*)
-    docs.select(col("doc_id"), shingleCodes(col("text")).as("_codes"))
-      .select(col("doc_id"), sig.as("minhash"))
+    withShingles(docs).select(col("doc_id"), sig.as("minhash"))
   }
 
   /** LSH banding: K/r bands of r rows; docs sharing any band bucket are

@@ -34,6 +34,8 @@ object Pipeline {
     // numeric coercions never raise; ANSI mode (Spark 4 default) would
     // instead throw on element_at misses and bad string->number casts.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // SQL surface for the custom expressions (kv_extract, ...)
+    graft.plans.GraftExtensions.register(spark)
   }
 
   /** F1 health-string drop. The reference matches the socket peer against a
