@@ -129,13 +129,18 @@ object SparkEntry {
     "q30_multimodal" -> ((s, dir) =>
       operators.Multimodal.decodedMeta(s, docs(s, dir)).orderBy("doc_id")))
 
+  // documents/embeddings ship as ONE parquet file each = one input split;
+  // spread them so per-doc compute (shingling, hashing, dot products)
+  // parallelizes instead of serializing on a single task.
   private def docs(s: SparkSession, dir: String): DataFrame = {
     Pipeline.configure(s)
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(math.max(s.sparkContext.defaultParallelism, 8))
   }
   private def emb(s: SparkSession, dir: String): DataFrame = {
     Pipeline.configure(s)
     s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(math.max(s.sparkContext.defaultParallelism, 8))
   }
 
   def oracleSql: Map[String, String] = Oracle.sql

@@ -583,10 +583,10 @@ object Pipeline {
         stopStruct(dyn("attack_id"), toUtcOrEmpty(kvv("rt"), col("offh")))))
 
     base
-      .select(col("conv_id"), col("turn_idx"), col("ts"),
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("facility"), col("severity"),
         explode(filter(branches, b => b.isNotNull)).as("rec"))
-      .select(col("conv_id"), col("turn_idx"), col("ts"),
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("facility"), col("severity"), col("rec.*"))
   }
 

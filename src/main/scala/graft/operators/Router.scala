@@ -44,8 +44,11 @@ object Router {
     val t = Pipeline.healthFilter(
       graft.sources.TranscriptStore.table(spark, dir, rep),
       Transcripts.healthStrings(spark))
+    // per-record_type AND per-tool sinks (the north rule's fan-out axes);
+    // severity-level splits come free downstream via the attack_severity
+    // column + parquet row-group stats
     Pipeline.explodedAll(t, Transcripts.utcOffsets(spark))
-      .write.mode("overwrite").partitionBy("record_type").parquet(staged)
+      .write.mode("overwrite").partitionBy("record_type", "tool").parquet(staged)
 
     // phase 2: lifecycle facts from a narrow read-back of the staged sinks
     val back = spark.read.parquet(staged)
@@ -65,7 +68,7 @@ object Router {
       .withColumn("attack_end_date",
         when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
       .drop("_n_starts", "_stop_utc", "record_type")
-      .write.mode("overwrite").parquet(s"$outRoot/record_type=attacks")
+      .write.mode("overwrite").partitionBy("tool").parquet(s"$outRoot/record_type=attacks")
 
     // promote untouched partitions by rename; drop the _stop staging
     FinalPartitions.filterNot(_ == "attacks").foreach { p =>

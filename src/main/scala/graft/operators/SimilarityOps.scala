@@ -70,6 +70,38 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF-style index: the vector table written partitioned by sign-LSH
+    * bucket. At 100 TB this is the difference between scanning the table
+    * per probe and reading 1/2^bits of it: the bucket equality predicate
+    * becomes PARTITION PRUNING at the source (visible as `PartitionFilters`
+    * in explain), so a probe's IO is bounded by its bucket.
+    */
+  def buildIvfIndex(emb: DataFrame, path: String, bits: Int = 8): Unit =
+    emb.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), bits).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe the IVF index: per query, read ONLY its bucket partition and
+    * rerank exactly. Equivalent results to lshTopK (asserted in tests);
+    * different physical plan (pruned scans instead of a shuffle join).
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+              queries: DataFrame, k: Int = 3, bits: Int = 8): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    // the join key is the partition column -> dynamic partition pruning /
+    // pushed partition filters bound each probe's scan to one bucket
+    val scored = idx.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the same
     * sign-LSH bucketing (candidates must share a bucket).
     */

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** ANN specs: the IVF partitioned index must return exactly the bucketed
+  * LSH results, and its probe plan must prune to bucket partitions.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF index probe == in-memory sign-LSH top-k; plan prunes partitions") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = Files.createTempDirectory("graft-ivf").toString
+    SimilarityOps.buildIvfIndex(emb, path)
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = SimilarityOps.ivfTopK(spark, path, queries)
+    val lsh = SimilarityOps.lshTopK(emb)
+    assert(ivf.count() == lsh.count())
+    assert(ivf.except(lsh).count() == 0 && lsh.except(ivf).count() == 0)
+
+    // partition pruning evidence: the scan carries a PartitionFilters entry
+    // on the bucket column (dynamic pruning from the broadcast side)
+    val plan = ivf.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"expected partition pruning in plan:\n${plan.take(2000)}")
+  }
+
+  test("brute-force cosine: self is rank 1 with similarity 1") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val top = SimilarityOps.bruteTopK(emb, nQueries = 3, k = 2)
+      .filter(col("rank") === 1).orderBy("query_id").collect()
+    top.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("neighbor_id") == i.toLong)
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    }
+  }
+}
