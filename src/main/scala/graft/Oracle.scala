@@ -341,6 +341,26 @@ SELECT conv_id, turn_idx,
 FROM t WHERE s = 9 OR s = 19
 ORDER BY conv_id, turn_idx""",
 
+    "q15_attack_rollup" -> s"""WITH $tCte, $statsCte,
+atk2 AS (
+  SELECT CAST(base AS BIGINT) AS attack_id, aname AS attack_name,
+         'Network DoS Event' AS attack_category FROM t WHERE s = 0
+  UNION ALL
+  SELECT CAST(aid_afm AS BIGINT), aname, 'Network DoS Event' FROM t WHERE s = 10
+  UNION ALL
+  SELECT CAST(aid_asm AS BIGINT),
+         CASE WHEN detmode = 'TPS Increased' THEN 'HTTP Flood' ELSE 'HTTP Server Response Latency' END,
+         'Application DoS Event' FROM t WHERE s = 14),
+ag AS (
+  SELECT attack_id, count(*) AS n_samples,
+         CAST(SUM(attack_drop_rate) AS BIGINT) AS total_drop,
+         max(attack_detection_rate) AS peak_detection
+  FROM sts WHERE attack_id <> 0 GROUP BY 1)
+SELECT a.attack_id, a.attack_name, a.attack_category,
+       ag.n_samples, ag.total_drop, ag.peak_detection
+FROM atk2 a LEFT JOIN ag USING (attack_id)
+ORDER BY attack_id, attack_name""",
+
     "q13_conv_stats" -> s"""WITH $tCte
 SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
        min(ts2) AS first_ts, max(ts2) AS last_ts

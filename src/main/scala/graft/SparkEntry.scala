@@ -104,6 +104,22 @@ object SparkEntry {
         .turnDeltas(graft.sources.TranscriptStore.table(s, dir))
         .orderBy("conv_id", "turn_idx")
     }),
+    // downstream analytics over the routed families: relational join +
+    // rollup (attacks x their mitigation-stat samples, per attack_id)
+    "q15_attack_rollup" -> ((s, dir) => {
+      val (sy, cef) = Pipeline.bases(s, dir)
+      val attacks = Pipeline.attacksAll(sy, cef)
+        .filter(col("attack_id") =!= 0L)
+        .select(col("attack_id"), col("attack_name"), col("attack_category"))
+      val stats = Pipeline.statsAll(sy, cef)
+        .filter(col("attack_id") =!= 0L)
+        .groupBy("attack_id")
+        .agg(count("*").as("n_samples"),
+          sum(col("attack_drop_rate").cast("long")).as("total_drop"),
+          max("attack_detection_rate").as("peak_detection"))
+      attacks.join(stats, Seq("attack_id"), "left")
+        .orderBy("attack_id", "attack_name")
+    }),
 
     // ---- training-data ops: dedup / text analysis / ANN / multimodal ----
     "q20_dedup_exact" -> ((s, dir) =>

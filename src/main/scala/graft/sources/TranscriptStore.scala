@@ -14,8 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TranscriptStore {
 
+  /** Template fingerprint: the store silently serves stale text across
+    * code changes otherwise (the synthesis is deterministic ONLY for a
+    * fixed template set, and the SQL rendering is part of the contract).
+    */
+  private lazy val templateVersion: String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(Payloads.textSql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.take(4).map("%02x".format(_)).mkString
+  }
+
   private def storePath(dir: String, rep: Int): String = {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + (if (rep > 1) s"_x$rep" else "")
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") +
+      (if (rep > 1) s"_x$rep" else "") + s"_v$templateVersion"
     s"/root/repo/target/transcripts/$key"
   }
 
