@@ -16,6 +16,17 @@ object Bucketing {
     */
   def persistBucketed(spark: SparkSession, attacks: DataFrame, stats: DataFrame,
                       buckets: Int = 16): Unit = {
+    // an in-memory catalog forgets tables across sessions but their
+    // warehouse locations persist; clear both or CTAS refuses the location
+    Seq("attacks_bucketed", "stats_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
     attacks.write.mode("overwrite")
       .bucketBy(buckets, "attack_id").sortBy("attack_id")
       .saveAsTable("attacks_bucketed")

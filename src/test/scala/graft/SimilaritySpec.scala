@@ -29,6 +29,25 @@ class SimilaritySpec extends SparkSpec {
       s"expected partition pruning in plan:\n${plan.take(2000)}")
   }
 
+  test("sign-LSH ANN recall vs exact top-k is reported and sane") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 3
+    val brute = SimilarityOps.bruteTopK(emb, nQueries = 10, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = SimilarityOps.lshTopK(emb, nQueries = 10, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, exact) =>
+      lsh.get(q).map(a => (a intersect exact).size.toDouble / exact.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@$k of sign-LSH vs exact: $mean%.2f over ${recalls.size} queries")
+    // self always shares its own bucket -> every query recalls itself
+    assert(recalls.forall(_ >= 1.0 / k))
+    assert(mean > 0.3) // 8-bit sign buckets on random vectors: coarse but useful
+  }
+
   test("brute-force cosine: self is rank 1 with similarity 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val top = SimilarityOps.bruteTopK(emb, nQueries = 3, k = 2)

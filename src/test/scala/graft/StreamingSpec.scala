@@ -70,6 +70,33 @@ class StreamingSpec extends SparkSpec {
       .except(batch.select(key.head, key.tail: _*)).count() == 0)
   }
 
+  test("file stream resumes from checkpoint across restarts without duplicates") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.TranscriptStore.table(spark, dir)
+    val srcPath = Files.createTempDirectory("graft-resume-src").toString
+    val outPath = Files.createTempDirectory("graft-resume-out").toString
+    val ckpt = Files.createTempDirectory("graft-resume-ckpt").toString
+
+    // phase 1: first half of the data, then the query "dies"
+    all.filter(col("turn_idx") % 2 === 0).write.mode("append").parquet(srcPath)
+    val q1 = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    val afterPhase1 = spark.read.parquet(outPath).count()
+
+    // phase 2: more files arrive; a NEW query resumes from the checkpoint
+    all.filter(col("turn_idx") % 2 === 1).write.mode("append").parquet(srcPath)
+    val q2 = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = spark.read.parquet(outPath)
+    val batch = graft.operators.Pipeline.records(spark, dir)
+    assert(streamed.count() > afterPhase1) // phase 2 actually added rows
+    assert(streamed.count() == batch.count()) // no loss, no duplicates
+    // every (turn, record_type) emitted exactly once across both restarts
+    assert(streamed.select("conv_id", "turn_idx", "record_type").distinct().count()
+      == streamed.count())
+  }
+
   test("watermarked windowed sink counts run in append mode") {
     implicit val sql = spark.sqlContext
     // reuse the real parse over a memory stream of raw transcript rows
