@@ -46,50 +46,57 @@ object KvExtract {
 
 object KvScan {
 
-  @inline private def isKeyChar(c: Char, cef: Boolean): Boolean =
+  @inline private def isKeyChar(c: Byte, cef: Boolean): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
       (!cef && c == '_')
 
   // value class is identical for both patterns: [a-zA-Z0-9:_/.\-\s]
-  @inline private def isValChar(c: Char): Boolean =
+  @inline private def isValChar(c: Byte): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
       c == ':' || c == '_' || c == '/' || c == '.' || c == '-' || isWs(c)
 
   // java.util.regex \s = [ \t\n\x0B\f\r]
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
 
   /** Lookahead boundary at position j: `\]` (syslog) / end-of-input (CEF) /
     * `\s[key-class]+=`.
     */
-  private def boundaryAt(s: String, j: Int, n: Int, cef: Boolean): Boolean = {
-    if (!cef && j < n && s.charAt(j) == ']') return true
+  private def boundaryAt(s: Array[Byte], j: Int, n: Int, cef: Boolean): Boolean = {
+    if (!cef && j < n && s(j) == ']') return true
     if (cef && j == n) return true
-    if (j < n && isWs(s.charAt(j))) {
+    if (j < n && isWs(s(j))) {
       var p = j + 1
       val st = p
-      while (p < n && isKeyChar(s.charAt(p), cef)) p += 1
-      p > st && p < n && s.charAt(p) == '='
+      while (p < n && isKeyChar(s(p), cef)) p += 1
+      p > st && p < n && s(p) == '='
     } else false
   }
 
   /** One pass over the text; returns map<string,string>, last-wins dups,
     * empty values dropped (Ruby `entry[1] != nil` guards).
+    *
+    * Operates directly on UTF-8 bytes: every class in both patterns is
+    * pure ASCII and every byte of a multi-byte UTF-8 sequence has the high
+    * bit set, so it fails exactly the class tests the char-level regex
+    * fails — byte-wise scanning is equivalent, and match boundaries always
+    * fall on ASCII bytes (valid UTF-8 slice points). No per-row String
+    * materialization, no char[] copies.
     */
   def scan(input: UTF8String, cef: Boolean): MapData = {
-    val s = input.toString
+    val s = input.getBytes
     val n = s.length
-    val out = new java.util.LinkedHashMap[String, String]()
+    val out = new java.util.LinkedHashMap[UTF8String, UTF8String]()
     var i = 0
     while (i < n) {
-      if (isKeyChar(s.charAt(i), cef)) {
+      if (isKeyChar(s(i), cef)) {
         var k = i
-        while (k < n && isKeyChar(s.charAt(k), cef)) k += 1
-        if (k < n && s.charAt(k) == '=') {
+        while (k < n && isKeyChar(s(k), cef)) k += 1
+        if (k < n && s(k) == '=') {
           var e = k
-          while (e < n && s.charAt(e) == '=') e += 1 // [=]+ greedy
+          while (e < n && s(e) == '=') e += 1 // [=]+ greedy
           var v = e
-          while (v < n && isValChar(s.charAt(v))) v += 1
+          while (v < n && isValChar(s(v))) v += 1
           // greedy value with backtracking: longest j with a boundary
           var j = v
           var found = -1
@@ -98,8 +105,9 @@ object KvScan {
           }
           if (found >= 0) {
             // Ruby split("=") key/value; value runs from after the FIRST '='
-            val value = s.substring(k + 1, found)
-            if (value.nonEmpty) out.put(s.substring(i, k), value)
+            if (found > k + 1) out.put(
+              UTF8String.fromBytes(s, i, k - i),
+              UTF8String.fromBytes(s, k + 1, found - (k + 1)))
             i = found // find() resumes at match end (lookahead not consumed)
           } else {
             i += 1 // no boundary reachable: regex advances one position
@@ -117,8 +125,8 @@ object KvScan {
     val it = out.entrySet().iterator()
     while (it.hasNext) {
       val entry = it.next()
-      keys(idx) = UTF8String.fromString(entry.getKey)
-      vals(idx) = UTF8String.fromString(entry.getValue)
+      keys(idx) = entry.getKey
+      vals(idx) = entry.getValue
       idx += 1
     }
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
