@@ -35,10 +35,15 @@ object Router {
   /** Parse once and fan out to per-record_type parquet sinks under
     * `outRoot/record_type=X`; returns the routed row count per partition.
     */
-  def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1): Map[String, Long] = {
+  def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1): Unit = {
     Pipeline.configure(spark)
     val staged = s"$outRoot/_staged"
     rmrf(Paths.get(outRoot))
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = {
+      System.err.println(f"[route] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+    }
 
     // phase 1: one scan, one parse, all partitions staged
     val t = Pipeline.healthFilter(
@@ -49,6 +54,7 @@ object Router {
     // column + parquet row-group stats
     Pipeline.explodedAll(t, Transcripts.utcOffsets(spark))
       .write.mode("overwrite").partitionBy("record_type", "tool").parquet(staged)
+    phase("staged write")
 
     // phase 2: lifecycle facts from a narrow read-back of the staged sinks
     val back = spark.read.parquet(staged)
@@ -69,6 +75,7 @@ object Router {
         when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
       .drop("_n_starts", "_stop_utc", "record_type")
       .write.mode("overwrite").partitionBy("tool").parquet(s"$outRoot/record_type=attacks")
+    phase("lifecycle rewrite")
 
     // promote untouched partitions by rename; drop the _stop staging
     FinalPartitions.filterNot(_ == "attacks").foreach { p =>
@@ -77,11 +84,7 @@ object Router {
         Files.move(src, Paths.get(outRoot, s"record_type=$p"), StandardCopyOption.ATOMIC_MOVE)
     }
     rmrf(Paths.get(staged))
-
-    FinalPartitions.map { p =>
-      val path = s"$outRoot/record_type=$p"
-      p -> (if (Files.exists(Paths.get(path))) spark.read.parquet(path).count() else 0L)
-    }.toMap
+    phase("promote+cleanup")
   }
 
   /** Routed sinks -> one DataFrame (for equivalence checks). */
