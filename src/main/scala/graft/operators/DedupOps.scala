@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import TextOps.{tokenSig, tokens}
 
 /** Deduplication operators for the training-data pipeline: exact hash
@@ -18,15 +18,22 @@ object DedupOps {
   val P = 1000000007L
 
   /** Exact dedup: every doc mapped to the keeper (min doc_id) of its
-    * identical-text group. At scale this is a single hash shuffle on a text
-    * digest; here text itself is the key (the digest would be xxhash64).
+    * identical-text group.
+    *
+    * Shuffle key is a 128-bit md5 digest of the text, NOT the text itself:
+    * nothing wider than (doc_id, 16-byte digest) ever crosses an exchange,
+    * and 128 bits keeps the collision birthday bound negligible at 10^12
+    * docs (~10^24 pairs vs 2^128). The group aggregate is narrow
+    * (digest -> keeper, count) and the join back is digest-keyed, so the
+    * plan at 100 TB is two narrow hash shuffles — never a window holding
+    * full-text rows.
     */
   def exactDups(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text")
-    docs.select(
-      col("doc_id"),
-      min("doc_id").over(w).as("keeper_doc_id"),
-      (count("*").over(w) > 1).as("is_dup"))
+    val keyed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("_digest"))
+    val groups = keyed.groupBy("_digest")
+      .agg(min("doc_id").as("keeper_doc_id"), (count("*") > 1).as("is_dup"))
+    keyed.join(groups, "_digest")
+      .select("doc_id", "keeper_doc_id", "is_dup")
   }
 
   /** Distinct word-3-gram shingle codes per document (polynomial over
@@ -62,19 +69,41 @@ object DedupOps {
   def shingleIndex(docs: DataFrame): DataFrame =
     withShingles(docs).select(col("doc_id"), explode(col("_codes")).as("shingle"))
 
-  /** n-gram Jaccard near-dup pairs above `threshold`, via shingle-join:
-    * candidates share >=1 shingle, intersection counted by the join,
-    * |union| = |A| + |B| - |inter|. Scales as a shuffle on shingle code
-    * (hot shingles would be frequency-capped at 100 TB; the synthetic
-    * corpus needs no cap).
+  /** n-gram Jaccard near-dup pairs above `threshold`, via a frequency-capped
+    * inverted shingle index:
+    *
+    *   1. the exploded index (doc_id, shingle) is computed ONCE and
+    *      persisted — the tokenize+shingle pass dominates cost and would
+    *      otherwise re-run for every branch that references it (both join
+    *      sides + sizes + the hot-shingle census: 4x in the uncached plan).
+    *      At 100 TB this is the standard materialized shingle-index
+    *      artifact (persist -> a parquet/Iceberg intermediate table).
+    *   2. shingles with doc-frequency > `maxShingleDocFreq` are DROPPED
+    *      before the self-join (standard stop-shingle preconditioning): a
+    *      stop-shingle in f docs emits f^2 join rows, so one uncapped hot
+    *      shingle is the thing that dies at 100 TB; the cap bounds every
+    *      shingle's fan-out to maxShingleDocFreq^2. Hot shingles are few by
+    *      definition -> broadcast anti-join, no extra shuffle of the index.
+    *   3. sizes and intersections are both computed over the CAPPED shingle
+    *      space, so the emitted jaccard is the similarity over
+    *      discriminative shingles. Tradeoff (documented, standard): when
+    *      the cap activates, (a) pairs sharing ONLY stop-shingles are not
+    *      candidates (recall loss on non-discriminative overlap — the pairs
+    *      near-dup detection deliberately ignores), and (b) jaccard values
+    *      exclude stop-shingle mass from numerator and denominator alike.
+    *
+    * On the synthetic corpora nothing reaches the default cap (max observed
+    * shingle doc-frequency: 29 at sf0.01, 236 at sf0.1), so the output is
+    * row-identical to the uncapped oracle.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sizes = withShingles(docs).select(col("doc_id"),
-      size(col("_codes")).cast("long").as("n_shingles"))
-    val idx = shingleIndex(docs)
-    val a = idx.as("a")
-    val b = idx.as("b")
-    val inter = a.join(b,
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxShingleDocFreq: Int = 500): DataFrame = {
+    val idx = shingleIndex(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = idx.groupBy("shingle").agg(count("*").as("_df"))
+      .filter(col("_df") > maxShingleDocFreq).select("shingle")
+    val capped = idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = capped.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count("*").as("n_inter"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,58 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Shuffle-free partial top-k: keep at most `k` rows per key per INPUT
+    * partition (bounded heap, ordered score desc / tie asc — the same order
+    * the final rank uses), so the global per-key rank that follows sees at
+    * most k * nKeys * nPartitions rows instead of the full scored set.
+    *
+    * This is the scale-safe reduction: a row_number() window straight over
+    * the scored set hash-shuffles EVERY scored row into <= nKeys reducer
+    * partitions and fully sorts each — the textbook single-reducer collapse
+    * at 100 TB. The bounded-heap pass is narrow (no exchange), and the
+    * global top-k of the union of per-partition top-k's is exactly the
+    * global top-k of the input, so results are bit-identical.
+    *
+    * mapPartitions is justified here (same argument as Multimodal): a
+    * bounded per-key heap has no Catalyst equivalent that avoids buffering
+    * unbounded groups (collect_list partials carry ALL elements through the
+    * shuffle).
+    */
+  private[graft] def localTopKPerKey(scored: DataFrame, keyCol: String,
+                                     scoreCol: String, tieCol: String,
+                                     k: Int): DataFrame = {
+    val schema = scored.schema
+    val ki = schema.fieldIndex(keyCol)
+    val si = schema.fieldIndex(scoreCol)
+    val ti = schema.fieldIndex(tieCol)
+    def score(r: Row): Double =
+      if (r.isNullAt(si)) Double.NegativeInfinity else r.getDouble(si)
+    def tie(r: Row): Long = r.getAs[Number](ti).longValue()
+    // dequeue order = "worst kept row first": lowest score, then largest tie
+    val evictFirst: Ordering[Row] = Ordering.by(r => (-score(r), tie(r)))
+    implicit val enc = Encoders.row(schema)
+    scored.mapPartitions { it =>
+      val heaps = collection.mutable.HashMap
+        .empty[Any, collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(ki),
+          collection.mutable.PriorityQueue.empty[Row](evictFirst))
+        if (h.size < k) h.enqueue(r)
+        else if (evictFirst.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  /** Global exact top-k per key: narrow partial top-k, then a rank window
+    * over the (tiny) survivor set only.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val local = localTopKPerKey(scored, "query_id", "cos", "neighbor_id", k)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: the first `nQueries` vectors against the
     * whole table, broadcast on the (small) query side. The correctness
     * baseline: exact, O(nQueries * N), scales by broadcasting queries and
@@ -37,9 +89,7 @@ object SimilarityOps {
     val scored = emb.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos_sim"))
   }
@@ -63,9 +113,7 @@ object SimilarityOps {
     val scored = bucketed.join(broadcast(q), "bucket")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
         cosine(col("qv"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
         round(col("cos"), 6).as("cos_sim"))
   }
@@ -95,9 +143,7 @@ object SimilarityOps {
     val scored = idx.join(broadcast(q), "bucket")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
         cosine(col("qv"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
         round(col("cos"), 6).as("cos_sim"))
   }

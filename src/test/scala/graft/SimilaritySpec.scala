@@ -48,6 +48,34 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.3) // 8-bit sign buckets on random vectors: coarse but useful
   }
 
+  test("top-k physical plan: rank window sees only the bounded partial top-k, not the scored set") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
+    val k = 4
+    val top = SimilarityOps.bruteTopK(emb, nQueries = 6, k = k)
+    val plan = top.queryExecution.executedPlan.toString()
+    val wIdx = plan.indexOf("Window")
+    val mIdx = plan.indexOf("MapPartitions")
+    // tree prints parents first: the MapPartitions (partial top-k) must sit
+    // BELOW the Window, i.e. the window ranks the reduced set only
+    assert(wIdx >= 0, s"expected a Window in plan:\n${plan.take(2000)}")
+    assert(mIdx > wIdx,
+      s"expected MapPartitions (partial top-k) below the Window:\n${plan.take(2000)}")
+
+    // the reduction is bounded: <= k * nKeys * nPartitions rows enter the window
+    import org.apache.spark.sql.functions.broadcast
+    val q = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        SimilarityOps.cosine(col("qv"), col("embedding")).as("cos"))
+    val nParts = scored.rdd.getNumPartitions
+    val localCount = SimilarityOps
+      .localTopKPerKey(scored, "query_id", "cos", "neighbor_id", k).count()
+    assert(localCount <= k.toLong * 6 * nParts,
+      s"partial top-k not bounded: $localCount rows from $nParts partitions")
+    assert(localCount < scored.count(), "partial top-k did not reduce the scored set")
+  }
+
   test("brute-force cosine: self is rank 1 with similarity 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val top = SimilarityOps.bruteTopK(emb, nQueries = 3, k = 2)
