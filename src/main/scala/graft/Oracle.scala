@@ -500,6 +500,15 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE ${cos("x.embedding", "y.embedding")} >= 0.25
 ORDER BY vec_a, vec_b""",
 
+      "q31_png_decode" -> """
+SELECT doc_id,
+  CAST(45 AS BIGINT) AS byte_len,
+  CAST(16 + doc_id % 64 AS INT) AS width,
+  CAST(16 + (doc_id // 64) % 64 AS INT) AS height,
+  CAST(1 AS INT) AS n_frames,
+  'png' AS format
+FROM documents ORDER BY doc_id""",
+
       "q30_multimodal" -> """
 SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS byte_len,

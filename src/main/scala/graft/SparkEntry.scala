@@ -143,7 +143,12 @@ object SparkEntry {
     "q29_cos_dups" -> ((s, dir) =>
       operators.SimilarityOps.cosineDupPairs(emb(s, dir), 0.25).orderBy("vec_a", "vec_b")),
     "q30_multimodal" -> ((s, dir) =>
-      operators.Multimodal.decodedMeta(s, docs(s, dir)).orderBy("doc_id")))
+      operators.Multimodal.decodedMeta(s, docs(s, dir)).orderBy("doc_id")),
+    // real byte-level PNG header decode over synthesized valid containers:
+    // the oracle recomputes dims from the doc_id arithmetic, the engine
+    // parses them out of the bytes — agreement proves the decode is real
+    "q31_png_decode" -> ((s, dir) =>
+      operators.Multimodal.decodedPng(s, docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -12,15 +12,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * replacing the `regexp_extract_all` + higher-order-function chain on the
   * parse hot path (SURVEY.md §7.4's "optional perf pass" custom Expression).
   *
-  * The hand-rolled scanner (KvScan) reproduces the EXACT match semantics of
-  * the reference regexes — bbn_syslog.rb:60 (`cef=false`) and bbn_cef.rb:64
+  * The hand-rolled scanner (KvScan) reproduces the match semantics of the
+  * reference regexes — bbn_syslog.rb:60 (`cef=false`) and bbn_cef.rb:64
   * (`cef=true`), including greedy-value backtracking to the lookahead
   * boundary, the `]` / end-of-input anchors, the no-underscore CEF key
   * class (and its pair-poisoning effect), empty-value drops and
   * last-assignment-wins duplicates — without java.util.regex overhead or
-  * per-row array-of-strings intermediates. Equivalence to the regex path is
-  * enforced by a differential property test (F5ParseSpec) and the DuckDB
-  * oracle.
+  * per-row array-of-strings intermediates. Equivalence to the repo's regex
+  * path is enforced by a differential property test (F5ParseSpec) and the
+  * DuckDB oracle.
+  *
+  * One deliberate divergence from the RUBY post-processing (not from the
+  * regex): on consecutive '=' signs Ruby's `split("=")` yields
+  * `entry[1]=nil` for `k==` (pair dropped) and `""` for `k==v`, while this
+  * scanner — like the repo's regex baseline it is differential-tested
+  * against — keeps `{k: "="}` and `{k: "=v"}` respectively. No reference
+  * fixture or synthesized payload contains a `==` run, so the difference is
+  * unobservable on real F5 traffic; documented here rather than silently
+  * matched, because Ruby's behavior is an artifact of split(), not of the
+  * published KV grammar.
   *
   * Codegen emits a single static call, so the expression stays inside
   * WholeStageCodegen spans.
@@ -104,7 +114,8 @@ object KvScan {
             if (boundaryAt(s, j, n, cef)) found = j else j -= 1
           }
           if (found >= 0) {
-            // Ruby split("=") key/value; value runs from after the FIRST '='
+            // value runs from after the FIRST '=' (regex-path semantics;
+            // diverges from Ruby split("=") on '==' runs — see class doc)
             if (found > k + 1) out.put(
               UTF8String.fromBytes(s, i, k - i),
               UTF8String.fromBytes(s, k + 1, found - (k + 1)))

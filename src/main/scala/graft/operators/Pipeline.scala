@@ -499,6 +499,20 @@ object Pipeline {
     "record_type" -> "string", "remote_log_format" -> "string",
     "remote_log_payload" -> "string")
 
+  /** Schema-only surface for the reference's fourth ES mapping family,
+    * `attack_mitigation_methods` (README.md:306-324): NO reference code
+    * path ever emits a document of this type (verified across bbn_syslog.rb
+    * and bbn_cef.rb — the family exists only in the index-setup curl), so
+    * the engine carries the StructType for API completeness and emits
+    * nothing, matching the reference's observable behavior exactly.
+    */
+  val attackMitigationMethodsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "customer_id int, device_utc_time string, device_utc_offset int, " +
+        "attack_id bigint, attack_type string, attack_mitigation_method string, " +
+        "attack_mitigation_action string, forward_for string, " +
+        "forward_utc_time string, record_type string")
+
   private def recStruct(cols: Seq[(String, Column)]): Column = {
     val m = cols.toMap
     struct(recSchema.map { case (n, t) =>

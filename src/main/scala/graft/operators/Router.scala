@@ -49,10 +49,16 @@ object Router {
     val t = Pipeline.healthFilter(
       graft.sources.TranscriptStore.table(spark, dir, rep),
       Transcripts.healthStrings(spark))
-    // per-record_type AND per-tool sinks (the north rule's fan-out axes);
-    // severity-level splits come free downstream via the attack_severity
-    // column + parquet row-group stats
+    // Fan-out axes (the north rule's per-severity and per-tool sinks):
+    //   - record_type and tool are DIRECTORY axes everywhere;
+    //   - attack_severity is a directory axis for the attacks family (below,
+    //     always populated there) and a ROW-GROUP axis for the rest — the
+    //     sortWithinPartitions clusters each staged file by severity, so
+    //     severity predicates prune via parquet min/max stats. It cannot be
+    //     a directory axis for every family: traffic_stats has no severity
+    //     (all-null partition dirs would also break type inference).
     Pipeline.explodedAll(t, Transcripts.utcOffsets(spark))
+      .sortWithinPartitions("record_type", "tool", "attack_severity")
       .write.mode("overwrite").partitionBy("record_type", "tool").parquet(staged)
     phase("staged write")
 
@@ -74,7 +80,8 @@ object Router {
       .withColumn("attack_end_date",
         when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
       .drop("_n_starts", "_stop_utc", "record_type")
-      .write.mode("overwrite").partitionBy("tool").parquet(s"$outRoot/record_type=attacks")
+      .write.mode("overwrite").partitionBy("tool", "attack_severity")
+      .parquet(s"$outRoot/record_type=attacks")
     phase("lifecycle rewrite")
 
     // promote untouched partitions by rename; drop the _stop staging

@@ -100,18 +100,32 @@ object StreamingPipeline {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(lifecycleFn)
   }
 
+  /** Idempotent per-batch sink write: each micro-batch lands in its own
+    * `batch_id=<id>` partition directory with mode=overwrite, so a batch
+    * REPLAYED after a sink-side crash (checkpoint committed the offsets but
+    * the write half-finished, or vice versa) rewrites the same directory
+    * instead of appending duplicates. Checkpoint replay + idempotent write
+    * = exactly-once sink contents; a blind mode(append) under the same
+    * checkpoint is only at-least-once. Reference contrast:
+    * bbn_f5networks.rb:120-139 retries with data loss and no replay
+    * protection at all — this hardening is the north rule's resume
+    * contract, not reference parity.
+    */
+  def writeBatch(outRoot: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").partitionBy("record_type")
+      .parquet(s"$outRoot/batch_id=$batchId")
+
   /** End-to-end streaming job: parse -> route to per-record_type parquet
     * sinks via foreachBatch (the streaming analog of the S5 fan-out), with
-    * checkpointing for exactly-once sink commits.
+    * checkpointing + batchId-keyed idempotent writes for exactly-once sink
+    * contents (see writeBatch).
     */
   def routeStream(spark: SparkSession, sourcePath: String, outRoot: String,
                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val records = streamRecords(spark, streamTranscripts(spark, sourcePath))
     records.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("record_type").parquet(outRoot)
-      }
+      .foreachBatch(writeBatch(outRoot) _)
       .start()
   }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The PNG path must be a real byte-level decode: dims come from the IHDR
+  * bytes (not from arithmetic on the blob length), and a flipped bit that
+  * breaks the CRC is detected.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("PNG header decode parses real bytes and verifies the IHDR CRC") {
+    val good = Multimodal.pngBytes(123, 77)
+    assert(good.length == 45) // signature 8 + IHDR 25 + IEND 12
+    val meta = Multimodal.decodeOne(42L, good)
+    assert(meta.width == 123 && meta.height == 77)
+    assert(meta.format == "png" && meta.n_frames == 1 && meta.byte_len == 45L)
+
+    // flip one width bit WITHOUT fixing the CRC: a length-based stub would
+    // not notice; a real parser must
+    val corrupt = good.clone()
+    corrupt(18) = (corrupt(18) ^ 0x01).toByte
+    assert(Multimodal.decodeOne(1L, corrupt).format == "corrupt")
+
+    // non-PNG blobs keep the opaque-blob stand-in contract
+    val opaque = Multimodal.decodeOne(7L, "hello world".getBytes("UTF-8"))
+    assert(opaque.format == "jpeg" || opaque.format == "png")
+  }
+
+  test("distributed PNG decode matches the doc_id generating arithmetic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val decoded = Multimodal.decodedPng(spark, docs)
+    val bad = decoded.filter(
+      col("width") =!= (lit(16) + col("doc_id") % 64).cast("int") ||
+        col("height") =!= (lit(16) + (col("doc_id") / 64).cast("long") % 64).cast("int") ||
+        col("format") =!= "png" || col("byte_len") =!= 45L)
+    assert(bad.count() == 0)
+    assert(decoded.count() == docs.count())
+  }
+}

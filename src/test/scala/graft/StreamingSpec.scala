@@ -97,6 +97,107 @@ class StreamingSpec extends SparkSpec {
       == streamed.count())
   }
 
+  test("a replayed micro-batch rewrites its own partition: zero duplicates") {
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.sources.TranscriptStore.table(spark, dir)
+    val srcPath = Files.createTempDirectory("graft-replay-src").toString
+    src.limit(500).write.mode("overwrite").parquet(srcPath)
+    val outPath = Files.createTempDirectory("graft-replay-out").toString
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+
+    val q = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(outPath)
+    val before = out.count()
+    assert(before > 0)
+    val batchIds = out.select("batch_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue()) // partition dirs infer as int
+
+    // simulate a sink-side replay of the first batch: re-invoke the batch
+    // writer with the SAME batchId and the same rows (as a crash between
+    // the write and the checkpoint commit would)
+    val bid = batchIds.min
+    val replayRows = spark.read.parquet(s"$outPath/batch_id=$bid").cache()
+    replayRows.count() // materialize before the overwrite clobbers the source
+    StreamingPipeline.writeBatch(outPath)(replayRows, bid)
+    replayRows.unpersist()
+
+    val after = spark.read.parquet(outPath).count()
+    assert(after == before, s"replay duplicated rows: $before -> $after")
+    // and the per-turn uniqueness invariant still holds
+    val dup = spark.read.parquet(outPath)
+      .groupBy("conv_id", "turn_idx", "record_type").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("live socket source feeds the same exploded records as the batch path") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.TranscriptStore.table(spark, dir)
+      .orderBy("conv_id", "turn_idx").limit(300).collect()
+    val sep = "\u0001"
+    assert(rows.forall(r => !r.getString(3).contains(sep) && !r.getString(3).contains("\n")))
+
+    // the store's ts is TIMESTAMP_NTZ -> collect yields LocalDateTime
+    def tsMillis(r: org.apache.spark.sql.Row): Long = r.get(5) match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
+    // the live-ingress analog of the reference's UDP/TCP listeners
+    // (bbn_f5networks.rb:142-202): one line per datagram/turn
+    val server = new java.net.ServerSocket(0)
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      rows.foreach { r =>
+        w.println(Seq(r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getString(4), tsMillis(r)).mkString(sep))
+      }
+      w.flush()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val raw = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort).load()
+    val parsed = raw.select(split(col("value"), sep).as("f"))
+      .select(col("f")(0).as("conv_id"), col("f")(1).cast("int").as("turn_idx"),
+        col("f")(2).as("role"), col("f")(3).as("text"), col("f")(4).as("tool"),
+        timestamp_millis(col("f")(5).cast("long")).as("ts"))
+    val q = StreamingPipeline.streamRecords(spark, parsed)
+      .writeStream.format("memory").queryName("sockrecs").outputMode("append").start()
+
+    // batch truth over the SAME rows (ts normalized to TimestampType)
+    val batchRows = rows.toSeq.map(r => org.apache.spark.sql.Row(
+      r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4),
+      new java.sql.Timestamp(tsMillis(r))))
+    val batchIn = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows), StreamingPipeline.transcriptSchema)
+    val expected = graft.operators.Pipeline
+      .explodedAll(graft.operators.Pipeline.healthFilter(batchIn,
+        graft.sources.Transcripts.healthStrings(spark)),
+        graft.sources.Transcripts.utcOffsets(spark))
+      .filter(col("record_type") =!= "_stop")
+    val expectedCount = expected.count()
+
+    // the socket source has no end-of-stream marker: poll until the routed
+    // count settles at the batch truth (or time out)
+    val deadline = System.currentTimeMillis() + 60000
+    var got = -1L
+    while (got != expectedCount && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      got = spark.table("sockrecs").count()
+      if (got != expectedCount) Thread.sleep(200)
+    }
+    q.stop()
+    server.close()
+    assert(got == expectedCount, s"socket stream routed $got of $expectedCount records")
+    val key = Seq("record_type", "conv_id", "turn_idx", "remote_log_payload")
+    assert(spark.table("sockrecs").select(key.head, key.tail: _*)
+      .except(expected.select(key.head, key.tail: _*)).count() == 0)
+  }
+
   test("watermarked windowed sink counts run in append mode") {
     implicit val sql = spark.sqlContext
     // reuse the real parse over a memory stream of raw transcript rows
