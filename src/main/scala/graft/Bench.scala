@@ -154,7 +154,7 @@ object Bench {
         if (lo.isEmpty || hi.isEmpty) 0.0
         else ((scaleTurns / hi.min) / (scaleTurns / lo.min)) / (nHi.toDouble / nLo)
       var round = 0
-      while (round < maxRounds && (round < 2 || eff < 0.85)) {
+      while (round < maxRounds && (round < 1 || eff < 0.85)) {
         val l = spawnRoute(nLo, sfDir, scaleRep)
         val h = spawnRoute(nHi, sfDir, scaleRep)
         if (l > 0) lo :+= l

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Pins the scale-critical dedup behaviors that the DuckDB oracle cannot
+  * see at the synthetic corpora: the shingle frequency cap (inert there —
+  * max doc-frequency 29 at sf0.01) and the digest-keyed exact-dup plan.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hot-shingle cap bounds candidate fan-out; discriminative pairs survive") {
+    // 40 docs share one stop 3-gram ("the same stop"); two docs also share
+    // a distinctive trigram. Tail tokens must be distinct in the signature
+    // space (tokenSig = first-char * 131 + length), so each gets a unique
+    // (first char, length) pair.
+    def utok(k: Int): String = ('A' + (k % 50)).toChar.toString * (2 + k / 50)
+    val stop = "the same stop"
+    val docs = ((0 until 40).map(i =>
+      (i.toLong, s"$stop ${utok(3 * i)} ${utok(3 * i + 1)} ${utok(3 * i + 2)}")) ++
+      Seq((100L, s"alpha beta gamma ${utok(200)} ${utok(201)} ${utok(202)}"),
+          (101L, s"alpha beta gamma ${utok(203)} ${utok(204)} ${utok(205)}")))
+      .toDF("doc_id", "text")
+
+    // uncapped: the stop-shingle alone creates C(42,2)-ish candidates
+    val uncapped = DedupOps.jaccardPairs(docs, 0.01, maxShingleDocFreq = 1000)
+    // capped at 10: the stop-shingle (df=42) is dropped from candidate
+    // generation AND from the jaccard space
+    val capped = DedupOps.jaccardPairs(docs, 0.01, maxShingleDocFreq = 10)
+
+    val uncappedPairs = uncapped.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedPairs = capped.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // stop-only pairs vanish under the cap...
+    assert(uncappedPairs.contains((0L, 1L)))
+    assert(!cappedPairs.contains((0L, 1L)))
+    // ...while the discriminative near-dup pair survives
+    assert(cappedPairs.contains((100L, 101L)))
+    assert(cappedPairs.size < uncappedPairs.size)
+
+    // and its jaccard is computed over the capped (discriminative) space
+    val j = capped.filter(col("doc_a") === 100L && col("doc_b") === 101L)
+      .select("n_inter", "n_a", "n_b").head()
+    assert(j.getLong(0) >= 1 && j.getLong(0) <= j.getLong(1))
+  }
+
+  test("exact dedup groups by digest, not by raw text, and keeps min-id keeper") {
+    val docs = Seq(
+      (1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd"), (4L, "aaa bbb"), (5L, "eee"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDups(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, true), (3L, 3L, false), (4L, 1L, true), (5L, 5L, false)))
+    // plan hygiene: no exchange keyed on the raw text column
+    val plan = DedupOps.exactDups(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning(text"),
+      s"raw text used as shuffle key:\n${plan.take(1500)}")
+  }
+}
