@@ -89,6 +89,9 @@ object Bench {
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
+    // surface the child's per-phase route timings for scaling diagnosis
+    out.linesIterator.filter(l => l.startsWith("[route]") || l.startsWith("ROUTE_SECONDS"))
+      .foreach(l => System.err.println(s"[bench child cpus=$cpus] $l"))
     val secs = "ROUTE_SECONDS=([0-9.]+)".r.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
     if (secs.isEmpty) {
       System.err.println(s"[bench] child cpus=$cpus failed:\n" + out.takeRight(2000))
@@ -147,7 +150,7 @@ object Bench {
       val sSpark = build(cpus)
       val scaleTurns = sources.TranscriptStore.table(sSpark, sfDir, scaleRep).count()
       sSpark.stop()
-      val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+      val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
       var lo = Vector.empty[Double]
       var hi = Vector.empty[Double]
       def eff: Double =

@@ -467,6 +467,42 @@ FROM bands x JOIN bands y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ORDER BY doc_a, doc_b""",
 
+      // connected components over the q26 candidate graph: min reachable
+      // doc_id per doc via a recursive closure (tractable at oracle scale;
+      // the engine side iterates min-label propagation to the same fixpoint)
+      "q32_dup_clusters" -> s"""
+WITH RECURSIVE base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sigs AS (SELECT doc_id,
+    $minhashCols
+  FROM base),
+bands AS (
+  $bandRows),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""",
+
+      "q33_sample_stratified" -> """
+SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS sample_bucket
+FROM documents
+WHERE (doc_id * 2654435761) % 1000 <
+  CASE lang WHEN 'en' THEN 350 WHEN 'zh' THEN 700 WHEN 'es' THEN 700
+            WHEN 'de' THEN 700 WHEN 'fr' THEN 700 END
+ORDER BY doc_id""",
+
+      "q34_vocab_topk" -> """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+
       "q27_ann_brute" -> s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (

@@ -148,7 +148,17 @@ object SparkEntry {
     // the oracle recomputes dims from the doc_id arithmetic, the engine
     // parses them out of the bytes — agreement proves the decode is real
     "q31_png_decode" -> ((s, dir) =>
-      operators.Multimodal.decodedPng(s, docs(s, dir)).orderBy("doc_id")))
+      operators.Multimodal.decodedPng(s, docs(s, dir)).orderBy("doc_id")),
+    // near-dup clusters: connected components over the LSH candidate graph
+    // (oracle = DuckDB recursive CTE computing min reachable doc_id)
+    "q32_dup_clusters" -> ((s, dir) =>
+      operators.DedupOps.dupClusters(docs(s, dir)).orderBy("doc_id")),
+    "q33_sample_stratified" -> ((s, dir) =>
+      operators.SampleOps.stratifiedSample(
+        docs(s, dir), operators.SampleOps.defaultRates(s)).orderBy("doc_id")),
+    "q34_vocab_topk" -> ((s, dir) =>
+      operators.TextOps.vocabTopK(docs(s, dir))
+        .orderBy(col("freq").desc, col("token"))))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

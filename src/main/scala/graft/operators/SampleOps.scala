@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for the training-data pipeline.
+  *
+  * Membership is a PURE FUNCTION of the row (hash bucket vs a per-stratum
+  * rate), never RNG state: a re-run, a speculative task, or a resumed job
+  * emits the identical sample — the property that makes sampling usable in
+  * a resumable 100 TB pipeline (rand()-based sampling changes membership
+  * on every retry and breaks lineage manifests).
+  *
+  * The plan is narrow: one map to compute the bucket, one broadcast join
+  * against the (tiny) rates dim, one filter. No shuffle of the corpus.
+  */
+object SampleOps {
+
+  /** Buckets per stratum; rates are expressed in permille. */
+  val SampleBuckets = 1000L
+
+  /** Engine-portable bucket: Knuth multiplicative mix mod 1000. The
+    * multiplier is odd and coprime to 1000, so consecutive ids spread over
+    * all buckets uniformly. Production note: at ids beyond ~3x10^9 the
+    * product overflows int64 — there you'd swap in xxhash64(id) (same plan
+    * shape); the arithmetic form is kept so the DuckDB oracle reproduces
+    * membership bit-for-bit (DuckDB errors on int64 overflow rather than
+    * wrapping, so the oracle pins the non-overflowing domain).
+    */
+  def sampleBucket(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(SampleBuckets))
+
+  /** Default per-language rates: downsample the dominant language, keep
+    * more of the tail — the usual corpus-balancing shape.
+    */
+  def defaultRates(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("en", 350L), ("zh", 700L), ("es", 700L), ("de", 700L), ("fr", 700L))
+      .toDF("lang", "rate_permille")
+  }
+
+  /** Per-stratum deterministic downsample: keep a doc iff its bucket falls
+    * under its stratum's rate. Strata with no rate row are dropped
+    * entirely (inner join) — the explicit-allowlist behavior a curated
+    * training mix wants.
+    */
+  def stratifiedSample(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs
+      .withColumn("sample_bucket", sampleBucket(col("doc_id")))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("sample_bucket") < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("sample_bucket"))
+}

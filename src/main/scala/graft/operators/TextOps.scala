@@ -68,6 +68,19 @@ object TextOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
 
+  /** Corpus vocabulary: global token frequencies, top `k` by (freq desc,
+    * token asc — the tiebreak makes the cut deterministic). Scale shape:
+    * explode -> two-level hash aggregate (map-side partial combine bounds
+    * the shuffle volume by |vocab| per task, not corpus size) -> the
+    * sort+limit plans as TakeOrderedAndProject (each task keeps k rows,
+    * the driver merges P*k) — no global sort of the vocabulary.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count("*").as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** SimHash over token signatures, `bits` wide: bit j of the hash is the
     * sign of the sum over tokens of ±1 by bit j of the spread signature.
     * Implemented explode-side (shuffle on doc_id) — the shape that scales:
@@ -75,7 +88,12 @@ object TextOps {
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     docs
-      .select(col("doc_id"), explode(transform(tokens(col("text")), tokenSig(_))).as("sig"))
+      // outer + isNotNull: a plain explode would push the signature
+      // transform into the scan as an inferred size()>0 DataFilter,
+      // doubling the per-row compute (see DedupOps.shingleIndex)
+      .select(col("doc_id"),
+        explode_outer(transform(tokens(col("text")), tokenSig(_))).as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(sequence(lit(0), lit(bits - 1))).as("j"),
         (col("sig") * lit(2654435761L)).as("h"))
       .groupBy("doc_id", "j")

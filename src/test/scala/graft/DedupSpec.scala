@@ -60,4 +60,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(text"),
       s"raw text used as shuffle key:\n${plan.take(1500)}")
   }
+
+  test("cluster resolution propagates min label across a chain to fixpoint") {
+    // components: {1,2,3} via the chain 1-2, 2-3 (A~C only transitively —
+    // needs >1 propagation round), {5,6}, and singleton 4
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.clustersFromEdges(docs, edges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("dupClusters merges identical texts; shingle-less docs never band") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "alpha beta gamma delta epsilon"),
+      (13L, "zz yy"), // < 3 tokens: no shingles, all-null minhash
+      (14L, "qq"),
+      (15L, "totally different words here now")).toDF("doc_id", "text")
+    // the two short docs must NOT become LSH candidates of each other
+    val cands = DedupOps.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((13L, 14L)))
+    val clusters = DedupOps.dupClusters(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clusters == Seq((10L, 10L), (11L, 10L), (12L, 10L),
+      (13L, 13L), (14L, 14L), (15L, 15L)))
+  }
 }

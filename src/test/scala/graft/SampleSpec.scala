@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SampleOps, TextOps}
+
+/** Deterministic sampling + corpus vocabulary: behaviors the oracle check
+  * can't see — retry-stable membership, allowlist semantics, and the
+  * TakeOrdered (no-global-sort) top-k plan.
+  */
+class SampleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsOf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("stratified sample is a pure function of the row: re-run identical") {
+    val docs = docsOf((0L until 200L).map(i =>
+      (i, s"text $i", Seq("en", "zh", "es", "de", "fr")((i % 5).toInt))))
+    val rates = SampleOps.defaultRates(spark)
+    val a = SampleOps.stratifiedSample(docs, rates).collect().map(_.toSeq).toSet
+    val b = SampleOps.stratifiedSample(docs, rates).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // every kept row respects its stratum's rate
+    SampleOps.stratifiedSample(docs, rates).collect().foreach { r =>
+      val rate = if (r.getString(1) == "en") 350L else 700L
+      assert(r.getLong(2) < rate)
+    }
+  }
+
+  test("strata without a rate row are dropped (allowlist semantics)") {
+    val docs = docsOf(Seq((1L, "a", "en"), (2L, "b", "xx")))
+    val rates = Seq(("en", 1000L)).toDF("lang", "rate_permille")
+    val kept = SampleOps.stratifiedSample(docs, rates).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("vocab top-k counts globally, breaks ties by token, plans as TakeOrdered") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a c d")).toDF("doc_id", "text")
+    val top = TextOps.vocabTopK(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a=3, b=3 (tie -> 'a' first), c=2
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+    val plan = TextOps.vocabTopK(docs, 3).queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should not globally sort the vocabulary:\n${plan.take(1500)}")
+  }
+}
