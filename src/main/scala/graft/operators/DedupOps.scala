@@ -212,21 +212,33 @@ object DedupOps {
     * (band, bucket), no cross product.
     */
   def lshCandidates(docs: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
-    // docs with NO shingles (< 3 tokens) carry an all-null minhash; they
-    // have no similarity evidence and must not band (concat_ws skips nulls,
-    // so they would otherwise all collide on the empty bucket — and diverge
-    // from SQL engines where || propagates NULL)
     val sigs = minhashSignature(docs, k)
-      .filter(element_at(col("minhash"), 1).isNotNull)
-    // posexplode_outer for the same reason as shingleIndex: the non-outer
-    // form would push the whole band-bucket expression into the scan filter
-    val bands = sigs.select(col("doc_id"),
-      posexplode_outer(transform(sequence(lit(0), lit(k / r - 1)), bnd =>
-        concat_ws(":", transform(
-          slice(col("minhash"), (bnd * r + 1).cast("int"), lit(r)),
-          x => x.cast("string"))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .filter(col("bucket").isNotNull)
+    // The generator explodes a CHEAP literal band-index sequence; buckets
+    // are computed ABOVE the Generate from the materialized minhash column.
+    // The Generate is the barrier that keeps the signature evaluated once
+    // per doc: a predicate on anything derived from minhash would be
+    // substituted through the projections and pushed below the repartition
+    // onto the single-split scan, evaluating the full (16 hashes x 3
+    // sig-references) inlined tree one-tasked — measured 138 s vs 1.5 s at
+    // sf0.1. Hence NO filter here at all:
+    //
+    // docs with NO shingles (< 3 tokens) carry an all-null minhash; they
+    // have no similarity evidence and must not pair (concat_ws skips nulls,
+    // so they would otherwise all collide on the empty bucket — and diverge
+    // from SQL engines where || propagates NULL). They get a UNIQUE
+    // per-doc solo bucket instead ("solo:" cannot collide with the numeric
+    // ":"-joined real buckets), which by construction never yields a pair
+    // in the self-join — same output as dropping them, nothing to push.
+    val bands = sigs
+      .select(col("doc_id"), col("minhash"),
+        explode(sequence(lit(0), lit(k / r - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        when(element_at(col("minhash"), 1).isNotNull,
+          concat_ws(":", transform(
+            slice(col("minhash"), col("band") * r + 1, lit(r)),
+            x => x.cast("string"))))
+          .otherwise(concat(lit("solo:"), col("doc_id")))
+          .as("bucket"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
