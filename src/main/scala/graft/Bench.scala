@@ -60,18 +60,22 @@ object Bench {
     * takes the min, which both absorbs JIT warmup and resists the noisy-
     * neighbor drift of this virtualized host.
     */
-  private def routeChild(cpus: Int, sfDir: String, rep: Int): Unit = {
+  private def routeChild(cpus: Int, sfDir: String, rep: Int, n: Int): Unit = {
     val spark = build(cpus)
     sources.TranscriptStore.table(spark, sfDir, rep) // materialized already
-    (1 to 2).foreach { _ =>
+    (1 to n).foreach { _ =>
       val sec = time(operators.Router.route(spark, sfDir, benchSink(cpus), rep))
       println(f"ROUTE_SECONDS=$sec%.3f")
     }
     spark.stop()
   }
 
-  /** Spawn a fresh JVM running routeChild; returns the timed seconds. */
-  private def spawnRoute(cpus: Int, sfDir: String, rep: Int): Double = {
+  /** Spawn a fresh JVM running routeChild; returns the timed seconds.
+    * `n` routes, min taken: route 1 is cold (page cache + JIT), so n=2
+    * yields one warm sample and n=3 two — the headline throughput child
+    * uses 3 so a single slow warm window can't set the record.
+    */
+  private def spawnRoute(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double = {
     val java = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -85,7 +89,7 @@ object Bench {
     val cmd = (Seq(java) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "--route", cpus.toString, sfDir, rep.toString)).toArray
+      "graft.Bench", "--route", cpus.toString, sfDir, rep.toString, n.toString)).toArray
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
@@ -101,7 +105,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "--route") {
-      routeChild(args(1).toInt, args(2), args(3).toInt)
+      routeChild(args(1).toInt, args(2), args(3).toInt,
+        if (args.length >= 5) args(4).toInt else 2)
       return
     }
 
@@ -125,7 +130,7 @@ object Bench {
     spark.stop()
 
     // ---- end-to-end throughput in fresh child JVMs ----
-    val secMain = spawnRoute(cpus, sfDir, rep)
+    val secMain = spawnRoute(cpus, sfDir, rep, n = 3)
     val thruMain = nTurns / secMain
     // scaling runs use a larger table so the ~5s of per-route driver-side
     // commit/planning floor stays <5% of the low-parallelism runtime

@@ -61,6 +61,31 @@ class DedupSpec extends SparkSpec {
       s"raw text used as shuffle key:\n${plan.take(1500)}")
   }
 
+  test("no heavy array expression is pushed into the parquet scan as a DataFilter") {
+    // Regression guard for the InferFiltersFromGenerate / constraint-
+    // propagation trap: a predicate derived from a computed array column
+    // (inferred size()>0 from explode, or a guard on element_at(minhash))
+    // gets alias-substituted and pushed into the FileScan DataFilters,
+    // where the whole signature tree re-evaluates pre-repartition on the
+    // single input split (measured 138 s vs 1.5 s at sf0.1).
+    val dir = java.nio.file.Files.createTempDirectory("dedup-scan").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "other words entirely here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir).repartition(2)
+    for ((name, df) <- Seq(
+      "shingleIndex" -> DedupOps.shingleIndex(docs),
+      "lshCandidates" -> DedupOps.lshCandidates(docs),
+      "jaccardPairs" -> DedupOps.jaccardPairs(docs, 0.1),
+      "simhash" -> graft.operators.TextOps.simhash(docs))) {
+      val scans = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("FileScan")).mkString("\n")
+      for (marker <- Seq("array_min", "array_distinct", "17161"))
+        assert(!scans.contains(marker),
+          s"$name pushed heavy expr into scan:\n${scans.take(800)}")
+    }
+  }
+
   test("cluster resolution propagates min label across a chain to fixpoint") {
     // components: {1,2,3} via the chain 1-2, 2-3 (A~C only transitively —
     // needs >1 propagation round), {5,6}, and singleton 4
