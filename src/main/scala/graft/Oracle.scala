@@ -411,9 +411,12 @@ FROM documents ORDER BY doc_id""",
       "q21_token_stats" -> """
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the','a','of','and'))) AS DOUBLE)
     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE) AS punct_ratio,
   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
 FROM documents ORDER BY doc_id""",

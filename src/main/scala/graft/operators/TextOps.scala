@@ -37,7 +37,18 @@ object TextOps {
       (acc, x) => pmod(acc * FpMul + x, lit(FpMod)))
   }
 
-  /** Per-document token stats + quality signals. */
+  /** BPE-ish pre-tokenization regex (the GPT-2-style split shape, ASCII
+    * form so Java and RE2-class engines agree): letter runs, digit runs,
+    * and each remaining non-space symbol as its own token. A real BPE would
+    * merge inside these pre-tokens; counting them is the standard cheap
+    * proxy for "tokenizer cost" of a document.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-document token stats + quality signals: whitespace and BPE-ish
+    * regex token counts, length, stopword/punctuation ratios. All narrow
+    * map-side expressions — at 100 TB this is a single codegen'd pass.
+    */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
@@ -45,8 +56,12 @@ object TextOps {
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_subtokens"),
       length(col("text")).cast("long").as("n_chars"),
       (stop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+        / length(col("text")).cast("double")).as("punct_ratio"),
       ((length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double"))
         .as("avg_token_len"))
   }
