@@ -548,6 +548,13 @@ SELECT doc_id,
   'png' AS format
 FROM documents ORDER BY doc_id""",
 
+      // frame sampling: every 2nd frame index below the decoded n_frames
+      // (n_frames mirrors the decode stand-in arithmetic, q30)
+      "q35_frame_sample" -> """
+SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(1 + strlen(text) % 5 AS INT) AS n_frames
+FROM (SELECT doc_id, text, unnest(range(0, 1 + strlen(text) % 5, 2)) AS f FROM documents)
+ORDER BY doc_id, frame_idx""",
+
       "q30_multimodal" -> """
 SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS byte_len,

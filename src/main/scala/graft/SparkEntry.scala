@@ -158,7 +158,10 @@ object SparkEntry {
         docs(s, dir), operators.SampleOps.defaultRates(s)).orderBy("doc_id")),
     "q34_vocab_topk" -> ((s, dir) =>
       operators.TextOps.vocabTopK(docs(s, dir))
-        .orderBy(col("freq").desc, col("token"))))
+        .orderBy(col("freq").desc, col("token"))),
+    "q35_frame_sample" -> ((s, dir) =>
+      operators.Multimodal.sampleFrames(s, docs(s, dir))
+        .orderBy("doc_id", "frame_idx")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -128,4 +128,18 @@ object Multimodal {
     */
   def decodedPng(spark: SparkSession, docs: DataFrame): DataFrame =
     decode(spark, pngMediaTable(spark, docs)).toDF()
+
+  /** Deterministic frame sampling (the video feature-extract shape): every
+    * `every`-th frame index per document, bounded by the DECODED n_frames —
+    * the downstream extractor then joins frames back to blobs co-partitioned
+    * by doc_id, so no frame row ever moves without its document. The explode
+    * is over a sequence bounded by a decoded metadata column behind the
+    * typed-Dataset boundary; there is no expression for the optimizer to
+    * push into a scan, and the fan-out is bounded by n_frames/every per row.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, every: Int = 2): DataFrame =
+    decode(spark, mediaTable(docs)).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"))
 }

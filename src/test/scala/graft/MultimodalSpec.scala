@@ -9,6 +9,17 @@ import graft.operators.Multimodal
   */
 class MultimodalSpec extends SparkSpec {
 
+  test("frame sampling emits every k-th index bounded by decoded n_frames") {
+    import spark.implicits._
+    // text length picks n_frames = 1 + len % 5: len 4 -> 5 frames, len 5 -> 1
+    val docs = Seq((1L, "abcd"), (2L, "abcde")).toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val out = graft.operators.Multimodal.sampleFrames(spark, docs, every = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 0, 5), (1L, 2, 5), (1L, 4, 5), (2L, 0, 1)))
+  }
+
   test("PNG header decode parses real bytes and verifies the IHDR CRC") {
     val good = Multimodal.pngBytes(123, 77)
     assert(good.length == 45) // signature 8 + IHDR 25 + IEND 12
