@@ -100,6 +100,21 @@ object StreamingPipeline {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(lifecycleFn)
   }
 
+  /** Streaming exact dedup: drop re-delivered rows by content digest within
+    * the watermark horizon — the streaming analog of DedupOps.exactDups for
+    * an at-least-once upstream (the socket/file ingest redelivers on
+    * reconnect). Keyed state holds only the 16-byte digest and ages out at
+    * the watermark, which is what makes this runnable indefinitely: state
+    * is bounded by the redelivery window, not by stream history. Rows
+    * never shuffle wider than (digest, payload) once, keyed on the digest.
+    */
+  def dedupStream(transcripts: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    transcripts
+      .withColumn("_digest", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   /** Idempotent per-batch sink write: each micro-batch lands in its own
     * `batch_id=<id>` partition directory with mode=overwrite, so a batch
     * REPLAYED after a sink-side crash (checkpoint committed the offsets but

@@ -198,6 +198,29 @@ class StreamingSpec extends SparkSpec {
       .except(expected.select(key.head, key.tail: _*)).count() == 0)
   }
 
+  test("streaming dedup drops redelivered payloads within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, String, String, java.sql.Timestamp)]
+    val t = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val q = StreamingPipeline.dedupStream(t, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: A delivered twice (same content, different turns) + B
+    input.addData(
+      ("c1", 0, "user", "payload A", "none", ts("2026-01-01 00:00:00")),
+      ("c1", 1, "user", "payload A", "none", ts("2026-01-01 00:00:01")),
+      ("c1", 2, "user", "payload B", "none", ts("2026-01-01 00:00:02")))
+    q.processAllAvailable()
+    // batch 2: A redelivered later but inside the watermark horizon
+    input.addData(("c2", 0, "user", "payload A", "none", ts("2026-01-01 00:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("streamdedup").collect().map(_.getAs[String]("text")).toSeq
+    assert(texts.sorted == Seq("payload A", "payload B"),
+      s"expected one A and one B, got: $texts")
+  }
+
   test("watermarked windowed sink counts run in append mode") {
     implicit val sql = spark.sqlContext
     // reuse the real parse over a memory stream of raw transcript rows
