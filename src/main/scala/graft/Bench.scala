@@ -223,11 +223,7 @@ object Bench {
     Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md.toString)
 
     // tmpfs sinks are scratch: free the RAM they pin
-    Seq(nLo, nHi, cpus).distinct.map(benchSink).foreach { p =>
-      val path = Paths.get(p)
-      if (Files.exists(path))
-        Files.walk(path).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
+    Seq(nLo, nHi, cpus).distinct.map(benchSink)
+      .foreach(p => operators.Router.rmrf(Paths.get(p)))
   }
 }

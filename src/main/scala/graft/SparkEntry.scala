@@ -132,8 +132,12 @@ object SparkEntry {
       operators.TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
     "q24_simhash" -> ((s, dir) =>
       operators.TextOps.simhash(docs(s, dir)).orderBy("doc_id")),
+    // oracle contract = UNCAPPED exact Jaccard at any scale (the DuckDB SQL
+    // has no frequency cap); the hot-shingle cap is the scale-path
+    // preconditioning, pinned separately in DedupSpec
     "q25_jaccard_pairs" -> ((s, dir) =>
-      operators.DedupOps.jaccardPairs(docs(s, dir), 0.12).orderBy("doc_a", "doc_b")),
+      operators.DedupOps.jaccardPairs(docs(s, dir), 0.12,
+        maxShingleDocFreq = Int.MaxValue).orderBy("doc_a", "doc_b")),
     "q26_minhash_lsh" -> ((s, dir) =>
       operators.DedupOps.lshCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "q27_ann_brute" -> ((s, dir) =>

@@ -29,7 +29,11 @@ object DedupOps {
     * full-text rows.
     */
   def exactDups(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("_digest"))
+    // NULL text forms its own group (SQL window PARTITION BY semantics):
+    // a raw md5(NULL) key would be dropped by the null-unsafe equi-join.
+    // The "NULL" marker cannot collide with 32-hex-char real digests.
+    val digest = coalesce(md5(col("text").cast("binary")), lit("NULL"))
+    val keyed = docs.select(col("doc_id"), digest.as("_digest"))
     val groups = keyed.groupBy("_digest")
       .agg(min("doc_id").as("keeper_doc_id"), (count("*") > 1).as("is_dup"))
     keyed.join(groups, "_digest")
@@ -203,6 +207,14 @@ object DedupOps {
       iter += 1
     }
     nbrs.unpersist()
+    // an unconverged result silently splits one component into several
+    // clusters (and diverges from the exact-closure oracle) — refuse it.
+    // Components with diameter > maxIter need a larger bound or the
+    // large-star/small-star contraction documented above.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersFromEdges did not converge within $maxIter rounds; " +
+          "a component's diameter exceeds the bound — raise maxIter")
     labels
   }
 

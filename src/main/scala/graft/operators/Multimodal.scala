@@ -74,14 +74,20 @@ object Multimodal {
     if (isPng) {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val dataLen = bb.getInt(8)
-      val ihdr = java.util.Arrays.copyOfRange(bytes, 16, 16 + dataLen)
-      val crcOk = bb.getInt(16 + dataLen) ==
-        crc32("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII), ihdr)
+      // the length field itself is untrusted input: a corrupt/hostile value
+      // must yield format="corrupt", not an out-of-bounds crash of the task
+      // (IHDR data is fixed 13 bytes; chunk needs 16 + dataLen + 4 <= len)
+      val lenOk = dataLen == 13 && len >= 16 + dataLen + 4
+      val crcOk = lenOk && {
+        val ihdr = java.util.Arrays.copyOfRange(bytes, 16, 16 + dataLen)
+        bb.getInt(16 + dataLen) ==
+          crc32("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII), ihdr)
+      }
       DecodedMeta(
         doc_id = docId,
         byte_len = len,
-        width = bb.getInt(16),
-        height = bb.getInt(20),
+        width = if (lenOk) bb.getInt(16) else 0,
+        height = if (lenOk) bb.getInt(20) else 0,
         n_frames = 1,
         format = if (crcOk) "png" else "corrupt")
     } else DecodedMeta(

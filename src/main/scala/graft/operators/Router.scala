@@ -28,9 +28,15 @@ object Router {
 
   val FinalPartitions: Seq[String] = Seq("attacks", "attack_mitigation_stats", "traffic_stats")
 
-  private def rmrf(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  /** Recursive delete (shared with Bench's sink cleanup); closes the walk
+    * stream — Files.walk holds directory handles until closed.
+    */
+  private[graft] def rmrf(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   /** Parse once and fan out to per-record_type parquet sinks under
     * `outRoot/record_type=X`; returns the routed row count per partition.

@@ -52,8 +52,17 @@ object SimilarityOps {
     def score(r: Row): Double =
       if (r.isNullAt(si)) Double.NegativeInfinity else r.getDouble(si)
     def tie(r: Row): Long = r.getAs[Number](ti).longValue()
-    // dequeue order = "worst kept row first": lowest score, then largest tie
-    val evictFirst: Ordering[Row] = Ordering.by(r => (-score(r), tie(r)))
+    // dequeue order = "worst kept row first": lowest score, then largest
+    // tie. Doubles compare via java.lang.Double.compare so NaN sorts as
+    // GREATER than every value — exactly how the final rank window orders
+    // `desc` (NaN first, nulls last); a tuple Ordering on -score would
+    // invert NaN and evict rows the window keeps.
+    val evictFirst: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val s = java.lang.Double.compare(score(b), score(a)) // lower score = worse = larger
+        if (s != 0) s else java.lang.Long.compare(tie(a), tie(b)) // larger tie = worse
+      }
+    }
     implicit val enc = Encoders.row(schema)
     scored.mapPartitions { it =>
       val heaps = collection.mutable.HashMap

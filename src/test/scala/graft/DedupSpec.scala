@@ -59,6 +59,14 @@ class DedupSpec extends SparkSpec {
     val plan = DedupOps.exactDups(docs).queryExecution.executedPlan.toString()
     assert(!plan.contains("hashpartitioning(text"),
       s"raw text used as shuffle key:\n${plan.take(1500)}")
+
+    // NULL text is its own group (SQL PARTITION BY semantics), distinct
+    // from empty string — a raw md5(NULL) key would silently drop the rows
+    val withNulls = Seq((1L, null), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val nOut = DedupOps.exactDups(withNulls).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(nOut == Seq((1L, 1L, true), (2L, 2L, false), (3L, 1L, true)))
   }
 
   test("no heavy array expression is pushed into the parquet scan as a DataFilter") {

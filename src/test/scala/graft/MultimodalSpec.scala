@@ -36,6 +36,17 @@ class MultimodalSpec extends SparkSpec {
     // non-PNG blobs keep the opaque-blob stand-in contract
     val opaque = Multimodal.decodeOne(7L, "hello world".getBytes("UTF-8"))
     assert(opaque.format == "jpeg" || opaque.format == "png")
+
+    // a corrupted LENGTH field (any value but 13, including negative or
+    // past-the-buffer) must classify as corrupt, never crash the task
+    for (b <- Seq(0x80.toByte, 0x7f.toByte, 141.toByte)) {
+      val badLen = good.clone()
+      badLen(11) = b // low byte of the IHDR chunk length
+      assert(Multimodal.decodeOne(2L, badLen).format == "corrupt")
+      val badLenHi = good.clone()
+      badLenHi(8) = b // high byte: huge/negative lengths
+      assert(Multimodal.decodeOne(3L, badLenHi).format == "corrupt")
+    }
   }
 
   test("distributed PNG decode matches the doc_id generating arithmetic") {

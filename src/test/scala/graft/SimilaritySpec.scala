@@ -76,6 +76,26 @@ class SimilaritySpec extends SparkSpec {
     assert(localCount < scored.count(), "partial top-k did not reduce the scored set")
   }
 
+  test("partial top-k orders NaN and null scores exactly like the rank window") {
+    import spark.implicits._
+    // Spark window `cos.desc` ranks NaN FIRST (NaN > any double) and nulls
+    // LAST; the bounded heap must agree or it evicts rows the window keeps.
+    // NaN arises for real inputs: cosine against an all-zero vector is 0/0.
+    val scored = Seq(
+      (1L, 10L, Double.NaN),
+      (1L, 11L, 0.9),
+      (1L, 12L, 0.8),
+      (1L, 13L, 0.7)).toDF("query_id", "neighbor_id", "cos")
+      .unionByName(Seq((1L, 14L)).toDF("query_id", "neighbor_id")
+        .withColumn("cos", lit(null).cast("double")))
+      .repartition(1)
+    val kept = SimilarityOps
+      .localTopKPerKey(scored, "query_id", "cos", "neighbor_id", 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // window order: NaN(10), 0.9(11), 0.8(12), 0.7(13), null(14)
+    assert(kept == Set(10L, 11L), s"heap kept $kept, window keeps {10, 11}")
+  }
+
   test("brute-force cosine: self is rank 1 with similarity 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val top = SimilarityOps.bruteTopK(emb, nQueries = 3, k = 2)
