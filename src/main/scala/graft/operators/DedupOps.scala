@@ -173,7 +173,78 @@ object DedupOps {
     */
   def dupClusters(docs: DataFrame, k: Int = 16, r: Int = 4,
                   maxIter: Int = 25): DataFrame =
-    clustersFromEdges(docs, lshCandidates(docs, k, r), maxIter)
+    clustersFromEdgesStar(docs, lshCandidates(docs, k, r), maxIter)
+
+  /** Connected components via alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale-default: converges in O(log n) rounds regardless
+    * of component diameter, where plain min-label propagation needs
+    * O(diameter) rounds and a path-shaped component of templated documents
+    * defeats any fixed bound.
+    *
+    *   large-star: every node u links its LARGER neighbors to the min of
+    *               its closed neighborhood;
+    *   small-star: every node u links its smaller-or-equal neighbors (and
+    *               itself) to that min.
+    *
+    * Each half-round is one narrow groupBy(min) + join over (long, long)
+    * edges; at the fixpoint the edge set is a forest of stars (node ->
+    * component min). Docs with no edges keep their own id (singleton).
+    */
+  def clustersFromEdgesStar(docs: DataFrame, cand: DataFrame,
+                            maxIter: Int = 25): DataFrame = {
+    // undirected edge set, kept canonical (src < dst) between rounds;
+    // localCheckpoint per round truncates the iterative lineage (see
+    // clustersFromEdges)
+    var edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+
+    // one star half-round: link each u's neighbors on one side of u to
+    // m = min(closed neighborhood of u); m <= every emitted v, so (m, v)
+    // is already canonical. Small-star additionally links u itself to m.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val gamma = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = gamma.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val linked = gamma.join(mins, "u")
+        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .select(col("v"), col("m"))
+      val withSelf =
+        if (large) linked
+        else linked.unionByName(mins.select(col("u").as("v"), col("m")))
+      withSelf.filter(col("v") =!= col("m"))
+        .select(col("m").as("src"), col("v").as("dst"))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // fixpoint = identical canonical edge set (cheap: both sides narrow)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersFromEdgesStar did not converge within $maxIter rounds")
+
+    // at the fixpoint every non-root node carries exactly one (root, node)
+    // star edge with root = src (the canonical min side)
+    val mapping = edges.groupBy(col("dst").as("doc_id"))
+      .agg(min("src").as("cluster_id"))
+    // NOTE: `edges` stays a live localCheckpoint — unpersisting it here
+    // would destroy the truncated-lineage blocks out from under `out`
+    docs.select(col("doc_id"))
+      .join(mapping, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
 
   /** Connected components over an explicit (doc_a, doc_b) edge list; see
     * dupClusters. Split out so any candidate generator (LSH, exact-dup
@@ -184,8 +255,14 @@ object DedupOps {
     val nbrs = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every round's frame is localCheckpoint(eager)-ed: each `next` refers
+    // to the previous labels TWICE, so without truncation the logical plan
+    // doubles per round and the optimizer OOMs near round ~10; the eager
+    // local checkpoint cuts the lineage to a materialized RDD (single-node
+    // semantics here — a multi-node deployment would use reliable
+    // checkpointing to survive executor loss)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -197,11 +274,10 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("_nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(
           labels.select(col("doc_id"), col("cluster_id").as("_old")), "doc_id")
         .filter(col("cluster_id") =!= col("_old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -104,6 +104,34 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
   }
 
+  test("star contraction handles chains min-propagation refuses, and agrees on random graphs") {
+    // a 30-node path: diameter 29. Min-propagation needs 29 rounds, so the
+    // 10-round bound must REFUSE (never silently split the component)...
+    val docs = (0L until 30L).map(i => (i, s"d $i")).toDF("doc_id", "text")
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      DedupOps.clustersFromEdges(docs, chain, maxIter = 10).collect()
+    }
+    // ...while large-star/small-star contracts it in O(log n) rounds
+    val star = DedupOps.clustersFromEdgesStar(docs, chain, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 30L).forall(star(_) == 0L))
+
+    // seeded random graph: both algorithms produce identical clusters
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val docs2 = (0L until n.toLong).map(i => (i, s"x $i")).toDF("doc_id", "text")
+    val es = (0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edges2 = es.toDF("doc_a", "doc_b")
+    val prop = DedupOps.clustersFromEdges(docs2, edges2, maxIter = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ss = DedupOps.clustersFromEdgesStar(docs2, edges2, maxIter = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prop == ss)
+  }
+
   test("dupClusters merges identical texts; shingle-less docs never band") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon"),
