@@ -116,9 +116,16 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDocFreq: Int = 500): DataFrame = {
     val idx = shingleIndex(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val hot = idx.groupBy("shingle").agg(count("*").as("_df"))
-      .filter(col("_df") > maxShingleDocFreq).select("shingle")
-    val capped = idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // cap disabled (exact-Jaccard contract) -> no census pass at all: the
+    // frequency census + anti-join would be a full extra aggregate over the
+    // index that can never drop anything
+    val capped =
+      if (maxShingleDocFreq == Int.MaxValue) idx
+      else {
+        val hot = idx.groupBy("shingle").agg(count("*").as("_df"))
+          .filter(col("_df") > maxShingleDocFreq).select("shingle")
+        idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val sizes = capped.groupBy("doc_id").agg(count("*").as("n_shingles"))
     val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -219,15 +226,27 @@ object DedupOps {
         .distinct()
     }
 
+    // Convergence probe: order-independent (count, sum of 64-bit edge
+    // hashes) checksum — ONE narrow aggregate per round instead of an
+    // except() anti-join of consecutive edge sets (which costs two extra
+    // shuffles per round and dominated the loop). A checksum match is
+    // confirmed once with the exact except() below, so a (astronomically
+    // unlikely) hash collision can stall a round but never yield a wrong
+    // fixpoint.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = checksum(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(true)
-      // fixpoint = identical canonical edge set (cheap: both sides narrow)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val nextSig = checksum(next)
+      converged = nextSig == sig && next.except(edges).isEmpty
       edges = next
+      sig = nextSig
       iter += 1
     }
     if (!converged)
