@@ -369,7 +369,32 @@ FROM t GROUP BY conv_id ORDER BY conv_id""",
     "q14_turn_deltas" -> s"""WITH $tCte
 SELECT conv_id, turn_idx,
   epoch_us(ts2) - LAG(epoch_us(ts2)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
-FROM t ORDER BY conv_id, turn_idx""") ++ dataOpsSql
+FROM t ORDER BY conv_id, turn_idx""",
+
+    // PII scrub: same two regexes (Java/RE2-common subset) run by DuckDB's
+    // RE2 over the SAME rendered text — cross-engine regex agreement is the
+    // check, 'g' for replace-all to match Spark's regexp_replace default
+    "q36_ip_scrub" -> s"""WITH $tCte
+SELECT conv_id, turn_idx,
+  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+  regexp_replace(regexp_replace(text, '${graft.operators.TextOps.Ipv4Pattern}', '<ip>', 'g'),
+                 '${graft.operators.TextOps.EmailPattern}', '<email>', 'g') AS scrubbed_text
+FROM t ORDER BY conv_id, turn_idx""",
+
+    "q37_sessionize" -> s"""WITH $tCte,
+flags AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN LAG(epoch_us(ts2)) OVER w IS NULL
+           OR epoch_us(ts2) - LAG(epoch_us(ts2)) OVER w > 3600000000 THEN 1 ELSE 0 END AS is_new
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+sess AS (
+  SELECT conv_id, turn_idx,
+    CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS session_idx
+  FROM flags)
+SELECT conv_id, turn_idx, session_idx,
+  conv_id || '#' || CAST(session_idx AS VARCHAR) AS session_id
+FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
 
   // ---------------------------------------------------------------------
   // Training-data operators over documents/embeddings (SparkEntry q20+)
@@ -505,6 +530,41 @@ ORDER BY doc_id""",
 SELECT token, count(*) AS freq
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+
+      // tf x (N/df) rational TF-IDF: only exactly-rounded IEEE ops so the
+      // score doubles match Spark bit-for-bit (ln() would not across libms)
+      "q38_tfidf_topk" -> """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM tfc JOIN dfc USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, df, score, rank FROM ranked
+WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+      "q39_decontaminate" -> s"""
+WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+idx AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+bench AS (SELECT DISTINCT shingle FROM idx WHERE doc_id % 50 = 0),
+cand AS (SELECT doc_id, shingle FROM idx WHERE doc_id % 50 <> 0),
+m AS (SELECT doc_id, count(*) AS n_matched FROM cand JOIN bench USING (shingle) GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(sz.n_shingles, 0) AS n_shingles,
+  coalesce(m.n_matched, 0) AS n_matched,
+  CASE WHEN coalesce(sz.n_shingles, 0) = 0 THEN 0.0
+       ELSE CAST(coalesce(m.n_matched, 0) AS DOUBLE) / CAST(sz.n_shingles AS DOUBLE) END AS contam_ratio,
+  (CASE WHEN coalesce(sz.n_shingles, 0) = 0 THEN 0.0
+        ELSE CAST(coalesce(m.n_matched, 0) AS DOUBLE) / CAST(sz.n_shingles AS DOUBLE) END) >= 0.5 AS is_contaminated
+FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id LEFT JOIN m ON m.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
 
       "q27_ann_brute" -> s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

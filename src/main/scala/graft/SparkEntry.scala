@@ -165,7 +165,28 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token"))),
     "q35_frame_sample" -> ((s, dir) =>
       operators.Multimodal.sampleFrames(s, docs(s, dir))
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+    // PII scrub over the transcripts (syslog/CEF payloads carry IPv4s):
+    // map-side regex masking + per-row audit counts
+    "q36_ip_scrub" -> ((s, dir) => {
+      Pipeline.configure(s)
+      operators.TextOps.piiScrub(
+        graft.sources.TranscriptStore.table(s, dir), Seq("conv_id", "turn_idx"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // gap-based sessionization over (conv_id, ts)
+    "q37_sessionize" -> ((s, dir) => {
+      Pipeline.configure(s)
+      operators.ConversationOps
+        .sessionize(graft.sources.TranscriptStore.table(s, dir))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // per-doc top terms by tf x (N/df) rational TF-IDF
+    "q38_tfidf_topk" -> ((s, dir) =>
+      operators.TextOps.tfidfTopK(docs(s, dir)).orderBy("doc_id", "rank")),
+    // benchmark decontamination: shingle overlap vs the doc_id%50==0 set
+    "q39_decontaminate" -> ((s, dir) =>
+      operators.DedupOps.decontaminate(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

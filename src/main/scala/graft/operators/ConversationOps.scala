@@ -34,6 +34,26 @@ object ConversationOps {
         max("_max_ts").as("last_ts"))
   }
 
+  /** Gap-based sessionization: a new session starts at the first turn of a
+    * conversation and whenever the inter-turn gap exceeds `gapSec`. The
+    * classic two-window shape — a lag to flag session starts, a running sum
+    * to number them — over ONE window spec, so Spark plans a single sort per
+    * conv_id partition. Skew ceiling is the largest single conversation
+    * (same note as turnDeltas); the running sum cannot be salted because
+    * session numbering is inherently sequential within a conversation.
+    */
+  def sessionize(transcripts: DataFrame, gapSec: Long = 3600): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val prev = lag(us, 1).over(w)
+    val isNew = when(prev.isNull || (us - prev) > gapSec * 1000000L, 1).otherwise(0)
+    transcripts
+      .withColumn("_new", isNew)
+      .withColumn("session_idx", sum(col("_new")).over(w).cast("int"))
+      .select(col("conv_id"), col("turn_idx"), col("session_idx"),
+        concat(col("conv_id"), lit("#"), col("session_idx")).as("session_id"))
+  }
+
   /** Per-conversation turn sequencing (stable (conv_id, turn_idx) order per
     * the north rule): inter-turn gap in microseconds via a window lag.
     * Windows cannot be salted (they need the whole partition ordered), so

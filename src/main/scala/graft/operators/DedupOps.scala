@@ -141,6 +141,38 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Benchmark decontamination: flag training documents whose shingle
+    * overlap with a benchmark/eval set exceeds `threshold` — the standard
+    * n-gram contamination check a training pipeline runs so eval data never
+    * leaks into the training corpus.
+    *
+    * Scale shape: the benchmark set is small by nature (eval suites), so
+    * its distinct shingles BROADCAST to the candidate side — the big
+    * shingle index never shuffles; matching is a map-side hash probe plus a
+    * partial-combined count per doc. `benchPred` (a doc_id predicate here)
+    * is cheap and pushes into the scan on the benchmark branch.
+    */
+  def decontaminate(docs: DataFrame,
+                    benchPred: Column = pmod(col("doc_id"), lit(50)) === 0,
+                    threshold: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val benchShingles = idx.filter(benchPred).select("shingle").distinct()
+    val cand = idx.filter(!benchPred)
+    val matched = cand.join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy("doc_id").agg(count("*").as("n_matched"))
+    val sizes = cand.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    docs.filter(!benchPred).select("doc_id")
+      .join(sizes, Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contam_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_matched").cast("double") / col("n_shingles").cast("double")))
+      .withColumn("is_contaminated", col("contam_ratio") >= threshold)
+  }
+
   /** MinHash parameter table: K independent affine hashes (a_i, b_i) mod P,
     * derived from a fixed formula so the oracle regenerates them.
     */

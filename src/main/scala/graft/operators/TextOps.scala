@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over the
@@ -95,6 +96,56 @@ object TextOps {
       .groupBy("token").agg(count("*").as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
+
+  /** PII-scrub patterns, written in the common ASCII subset that Java
+    * regex and RE2-class engines (the DuckDB oracle) interpret identically:
+    * no backrefs, no lookaround, ASCII character classes only.
+    */
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrubbing pass (the redaction step a training pipeline runs before
+    * anything leaves the raw zone): masks IPv4 addresses and emails, and
+    * reports per-row match counts for audit. Pure map-side regex — one
+    * codegen'd projection, no shuffle, trivially scale-linear. `idCols`
+    * carries the table's key columns through.
+    */
+  def piiScrub(df: DataFrame, idCols: Seq[String]): DataFrame =
+    df.select(idCols.map(col) ++ Seq(
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      regexp_replace(
+        regexp_replace(col("text"), Ipv4Pattern, "<ip>"),
+        EmailPattern, "<email>").as("scrubbed_text")): _*)
+
+  /** Top-k most-characteristic tokens per document by tf x (N/df) — TF-IDF
+    * with a RATIONAL (log-free) idf: every arithmetic step is an exactly-
+    * rounded IEEE op (+,*,/), so the DuckDB oracle reproduces scores
+    * bit-for-bit, where ln() may differ in the last ulp across libm
+    * implementations. Ranking is score desc, token asc (deterministic ties).
+    *
+    * Scale shape: explode -> partial-combined hash agg for tf, a second
+    * narrow agg for df (keyed on token, bounded by |vocab|), a broadcast of
+    * the 1-row corpus count, and a window partitioned by doc_id — a
+    * HIGH-cardinality partition key, so the rank spreads over all reducers
+    * (unlike a per-query window over ≤ nQueries partitions, the q27 trap).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count("*").as("tf"))
+    val dfreq = tf.groupBy("token").agg(count("*").as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+  }
 
   /** SimHash over token signatures, `bits` wide: bit j of the hash is the
     * sign of the sum over tokens of ±1 by bit j of the spread signature.

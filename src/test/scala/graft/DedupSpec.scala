@@ -132,6 +132,26 @@ class DedupSpec extends SparkSpec {
     assert(prop == ss)
   }
 
+  test("decontaminate flags docs overlapping the benchmark set; short docs never flag") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),     // benchmark (0 % 50 == 0)
+      (1L, "alpha beta gamma delta epsilon"),     // full copy -> ratio 1.0
+      (2L, "zeta eta theta iota kappa"),          // disjoint -> ratio 0.0
+      (3L, "tiny doc")                            // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val out = operators.DedupOps.decontaminate(docs)
+      .orderBy("doc_id").collect()
+    // benchmark doc itself is excluded from the output
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("contam_ratio") == 1.0 &&
+      out(0).getAs[Boolean]("is_contaminated"))
+    assert(out(1).getAs[Double]("contam_ratio") == 0.0 &&
+      !out(1).getAs[Boolean]("is_contaminated"))
+    assert(out(2).getAs[Long]("n_shingles") == 0L &&
+      out(2).getAs[Double]("contam_ratio") == 0.0 &&
+      !out(2).getAs[Boolean]("is_contaminated"))
+  }
+
   test("dupClusters merges identical texts; shingle-less docs never band") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon"),

@@ -28,4 +28,40 @@ class TextOpsSpec extends SparkSpec {
     assert(r("n_tokens") == 4L && r("n_subtokens") == 4L)
     assert(r("punct_ratio").asInstanceOf[Double] == 0.0)
   }
+
+  test("piiScrub masks every IPv4 and email and counts them") {
+    val rows = Seq(
+      (1L, 0, "dvc=172.16.21.41 src=10.0.195.61 mail ops@example.com end"),
+      (2L, 0, "no pii here, version 11.6.0 stays"),
+      (3L, 0, "edge 1.2.3.4")).toDF("doc_id", "turn_idx", "text")
+    val out = TextOps.piiScrub(rows, Seq("doc_id", "turn_idx"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_ips") == 2L)
+    assert(out(0).getAs[Long]("n_emails") == 1L)
+    assert(out(0).getAs[String]("scrubbed_text") ==
+      "dvc=<ip> src=<ip> mail <email> end")
+    // three-octet version strings are NOT IPs
+    assert(out(1).getAs[Long]("n_ips") == 0L)
+    assert(out(1).getAs[String]("scrubbed_text").contains("11.6.0"))
+    assert(out(2).getAs[String]("scrubbed_text") == "edge <ip>")
+  }
+
+  test("tfidfTopK ranks rare tokens above common ones, ties by token") {
+    // 3 docs; 'zebra' only in doc 1 (df=1), 'common' in all (df=3)
+    val docs = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common alpha"),
+      (3L, "common beta")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rank").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // doc 1: zebra tf=2 df=1 -> 2*(3/1)=6; common tf=1 df=3 -> 1
+    assert(d1(0).getAs[String]("token") == "zebra" && d1(0).getAs[Double]("score") == 6.0)
+    assert(d1(1).getAs[String]("token") == "common" && d1(1).getAs[Double]("score") == 1.0)
+    // doc 2: alpha (3.0) above common (1.0)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getAs[String]("token")).toSeq == Seq("alpha", "common"))
+    // every doc emits at most k rows
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
 }
