@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis operators for the training-data pipeline over the
   * `documents` table: token counting, quality scoring, language-ID
@@ -133,8 +134,14 @@ object TextOps {
     * (unlike a per-query window over ≤ nQueries partitions, the q27 trap).
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    // persisted: both the scored side and the df census read it, and Spark
+    // does not share common subtrees across join branches — without this
+    // the tokenize+explode+agg pass runs twice (same pattern as the
+    // jaccard shingle index; at 100 TB this is the materialized term-freq
+    // intermediate table)
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count("*").as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("token").agg(count("*").as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
