@@ -152,6 +152,17 @@ class DedupSpec extends SparkSpec {
       !out(2).getAs[Boolean]("is_contaminated"))
   }
 
+  test("decontaminate plan broadcasts the benchmark side — the candidate index never shuffles for the match") {
+    val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta token$i end"))
+      .toDF("doc_id", "text")
+    val plan = operators.DedupOps.decontaminate(docs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastExchange"),
+      s"expected a broadcast of the benchmark shingles:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must never plan a cross product:\n${plan.take(2000)}")
+  }
+
   test("dupClusters merges identical texts; shingle-less docs never band") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon"),

@@ -64,4 +64,14 @@ class TextOpsSpec extends SparkSpec {
     // every doc emits at most k rows
     assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
   }
+
+  test("tfidf top-k physical plan bounds each doc partition before the rank window") {
+    val docs = (1L to 40L).map(i => (i, s"w$i common shared")).toDF("doc_id", "text")
+    val plan = TextOps.tfidfTopK(docs).queryExecution.executedPlan.toString()
+    // Spark 4 plans rank<=k as WindowGroupLimit: each task keeps k rows per
+    // doc_id BEFORE the exchange, so the window never sees the full scored
+    // set (the q27-class trap this guards against)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit partial top-k in plan:\n${plan.take(2000)}")
+  }
 }
