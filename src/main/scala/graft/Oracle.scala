@@ -549,6 +549,30 @@ ranked AS (
 SELECT doc_id, token, tf, df, score, rank FROM ranked
 WHERE rank <= 3 ORDER BY doc_id, rank""",
 
+      // Gopher-style quality rules; reason = FIRST failing rule, same order
+      "q40_quality_filter" -> """
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the','a','of','and'))) AS DOUBLE)
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+    CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) - 1 AS DOUBLE) END AS dup_2gram_ratio
+  FROM documents),
+r AS (
+  SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+                 WHEN dup_2gram_ratio > 0.10 THEN 'repetitive'
+                 WHEN punct_ratio > 0.10 THEN 'too_much_punct' END AS reject_reason
+  FROM s)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, dup_2gram_ratio,
+  reject_reason IS NULL AS keep, reject_reason
+FROM r ORDER BY doc_id""",
+
       "q39_decontaminate" -> s"""
 WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
 idx AS (SELECT doc_id, unnest(sh) AS shingle FROM base),

@@ -186,7 +186,10 @@ object SparkEntry {
       operators.TextOps.tfidfTopK(docs(s, dir)).orderBy("doc_id", "rank")),
     // benchmark decontamination: shingle overlap vs the doc_id%50==0 set
     "q39_decontaminate" -> ((s, dir) =>
-      operators.DedupOps.decontaminate(docs(s, dir)).orderBy("doc_id")))
+      operators.DedupOps.decontaminate(docs(s, dir)).orderBy("doc_id")),
+    // Gopher-style quality filter: signals + keep/drop with audit reason
+    "q40_quality_filter" -> ((s, dir) =>
+      operators.TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -98,6 +98,57 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Fraction of repeated word-2-grams within a document (0 = all distinct):
+    * the standard within-doc repetition signal from published web-corpus
+    * quality rules (Gopher/RefinedWeb-style). Engine-portable: string
+    * 2-grams joined with a space, exact distinct count.
+    */
+  def dup2gramRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(1), size(toks) - 1), i =>
+      concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    // guard BEFORE building grams: sequence() descends when size < 2
+    when(size(toks) < 2, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double")
+        / (size(toks) - 1).cast("double"))
+  }
+
+  /** Gopher-style heuristic quality filter: per-document quality signals +
+    * a keep/drop decision with the FIRST failing rule as an audit
+    * `reject_reason` (mirroring the pipeline's rejects side-output — a
+    * production corpus filter must explain every drop).
+    *
+    * Deliberately emits `keep` as a COLUMN rather than filtering: a
+    * predicate over these derived signals sitting above the projection
+    * would be pushed into the parquet scan and re-evaluate the whole
+    * expression tree pre-repartition (the measured 138s-vs-1.5s trap —
+    * see DedupOps.shingleIndex). Callers filter on the cheap materialized
+    * boolean downstream.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 20,
+                    minStopword: Double = 0.02, maxDupRatio: Double = 0.10,
+                    maxPunct: Double = 0.10): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stop = size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long")
+    val stopRatio = stop.cast("double") / nTok.cast("double")
+    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val staged = docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      punct.as("punct_ratio"),
+      dup2gramRatio(col("text")).as("dup_2gram_ratio"))
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("stopword_ratio") < minStopword, "low_stopword")
+      .when(col("dup_2gram_ratio") > maxDupRatio, "repetitive")
+      .when(col("punct_ratio") > maxPunct, "too_much_punct")
+    staged.select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+      col("punct_ratio"), col("dup_2gram_ratio"),
+      reason.isNull.as("keep"), reason.as("reject_reason"))
+  }
+
   /** PII-scrub patterns, written in the common ASCII subset that Java
     * regex and RE2-class engines (the DuckDB oracle) interpret identically:
     * no backrefs, no lookaround, ASCII character classes only.

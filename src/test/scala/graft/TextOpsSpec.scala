@@ -65,6 +65,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
   }
 
+  test("qualityFilter applies rules in order and reports the FIRST failure") {
+    val docs = Seq(
+      (1L, "short doc"),                                               // too_short (and no stopwords)
+      (2L, Seq.fill(25)("word").mkString(" ")),                        // 25 tokens, no stopwords -> low_stopword
+      (3L, ("the a " + Seq.fill(12)("x y").mkString(" ")).trim),       // repeated 2-grams -> repetitive
+      (4L, "the a " + (1 to 18).map(i => s"tok$i").mkString(" "))      // 20 distinct tokens, stopwords -> keep
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("reject_reason") == "too_short")
+    assert(out(1).getAs[String]("reject_reason") == "low_stopword")
+    assert(out(2).getAs[String]("reject_reason") == "repetitive")
+    assert(out(3).getAs[String]("reject_reason") == null && out(3).getAs[Boolean]("keep"))
+    // single-token doc: dup ratio guard (sequence would descend)
+    val one = TextOps.qualityFilter(Seq((9L, "solo")).toDF("doc_id", "text")).collect()(0)
+    assert(one.getAs[Double]("dup_2gram_ratio") == 0.0)
+  }
+
   test("tfidf top-k physical plan bounds each doc partition before the rank window") {
     val docs = (1L to 40L).map(i => (i, s"w$i common shared")).toDF("doc_id", "text")
     val plan = TextOps.tfidfTopK(docs).queryExecution.executedPlan.toString()
