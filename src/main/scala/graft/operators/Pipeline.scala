@@ -652,9 +652,21 @@ object Pipeline {
     (syslogBase(t, offsets), cefBase(t, offsets))
   }
 
+  /** Correlated attacks via the SINGLE-PASS records() path: one scan of
+    * transcripts feeds the exploded superset, the narrow lifecycle agg
+    * resolves W3, and this projects the attacks family's exact column set
+    * back out. The old shape (correlate(attacksAll, attackStops) over
+    * bases()) evaluated the syslog/CEF bases once per family branch plus
+    * once per correlate reference — ~8 column-pruned scans where this
+    * needs 2; both produce identical rows (same family column lists feed
+    * recStruct and famSelect), pinned by the q05/q11 oracle.
+    */
   def attacksCorrelated(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {
-    val (sy, cef) = bases(spark, dir, rep)
-    correlate(attacksAll(sy, cef), attackStops(sy, cef))
+    val fam = Seq("conv_id", "turn_idx", "ts") ++
+      colsSyslogStart.map(_._1) ++ Seq("facility", "severity")
+    records(spark, dir, rep)
+      .filter(col("record_type") === "attacks")
+      .select(fam.map(col): _*)
   }
 
   /** S7 reject side-output: turns that parse to nothing and are not
