@@ -53,14 +53,10 @@ object SparkEntry {
     }),
     "q05_attacks" -> ((s, dir) =>
       Pipeline.attacksCorrelated(s, dir).orderBy("conv_id", "turn_idx")),
-    "q06_stats" -> ((s, dir) => {
-      val (sy, cef) = Pipeline.bases(s, dir)
-      Pipeline.statsAll(sy, cef).orderBy("conv_id", "turn_idx")
-    }),
-    "q07_traffic" -> ((s, dir) => {
-      val (sy, _) = Pipeline.bases(s, dir)
-      Pipeline.syslogTrafficStats(sy).orderBy("conv_id", "turn_idx")
-    }),
+    "q06_stats" -> ((s, dir) =>
+      Pipeline.statsRecords(s, dir).orderBy("conv_id", "turn_idx")),
+    "q07_traffic" -> ((s, dir) =>
+      Pipeline.trafficRecords(s, dir).orderBy("conv_id", "turn_idx")),
     "q08_sink_counts" -> ((s, dir) =>
       Pipeline.records(s, dir)
         .groupBy("record_type", "remote_log_format", "attack_severity")
@@ -107,11 +103,13 @@ object SparkEntry {
     // downstream analytics over the routed families: relational join +
     // rollup (attacks x their mitigation-stat samples, per attack_id)
     "q15_attack_rollup" -> ((s, dir) => {
-      val (sy, cef) = Pipeline.bases(s, dir)
-      val attacks = Pipeline.attacksAll(sy, cef)
+      // attacksCorrelated: only id/name/category are referenced, so
+      // Catalyst drops the (unreferenced) lifecycle join — one parse pass
+      // per side instead of the former ~7 per-branch scans
+      val attacks = Pipeline.attacksCorrelated(s, dir)
         .filter(col("attack_id") =!= 0L)
         .select(col("attack_id"), col("attack_name"), col("attack_category"))
-      val stats = Pipeline.statsAll(sy, cef)
+      val stats = Pipeline.statsRecords(s, dir)
         .filter(col("attack_id") =!= 0L)
         .groupBy("attack_id")
         .agg(count("*").as("n_samples"),

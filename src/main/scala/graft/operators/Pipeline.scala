@@ -661,12 +661,36 @@ object Pipeline {
     * needs 2; both produce identical rows (same family column lists feed
     * recStruct and famSelect), pinned by the q05/q11 oracle.
     */
-  def attacksCorrelated(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {
-    val fam = Seq("conv_id", "turn_idx", "ts") ++
-      colsSyslogStart.map(_._1) ++ Seq("facility", "severity")
+  def attacksCorrelated(spark: SparkSession, dir: String, rep: Int = 1): DataFrame =
     records(spark, dir, rep)
       .filter(col("record_type") === "attacks")
-      .select(fam.map(col): _*)
+      .select(famNames(colsSyslogStart).map(col): _*)
+
+  private def famNames(cols: Seq[(String, Column)]): Seq[String] =
+    Seq("conv_id", "turn_idx", "ts") ++ cols.map(_._1) ++ Seq("facility", "severity")
+
+  /** Stats / traffic families off explodedAll in ONE pass: these families
+    * never receive the W3 lifecycle rewrite (resolveLifecycle only touches
+    * record_type 'attacks'), so they skip the lifecycle join entirely —
+    * no second parse pass, no exchange. Identical rows to the per-branch
+    * statsAll/syslogTrafficStats unions (the same column lists feed
+    * recStruct and famSelect), pinned by the q06/q07/q15 oracles.
+    */
+  def statsRecords(spark: SparkSession, dir: String, rep: Int = 1): DataFrame =
+    familyRecords(spark, dir, rep, "attack_mitigation_stats", colsSyslogSample)
+
+  def trafficRecords(spark: SparkSession, dir: String, rep: Int = 1): DataFrame =
+    familyRecords(spark, dir, rep, "traffic_stats", colsTraffic)
+
+  private def familyRecords(spark: SparkSession, dir: String, rep: Int,
+                            family: String, cols: Seq[(String, Column)]): DataFrame = {
+    configure(spark)
+    val t = healthFilter(
+      graft.sources.TranscriptStore.table(spark, dir, rep),
+      Transcripts.healthStrings(spark))
+    explodedAll(t, Transcripts.utcOffsets(spark))
+      .filter(col("record_type") === family)
+      .select(famNames(cols).map(col): _*)
   }
 
   /** S7 reject side-output: turns that parse to nothing and are not
