@@ -55,8 +55,15 @@ object SparkEntry {
       Pipeline.attacksCorrelated(s, dir).orderBy("conv_id", "turn_idx")),
     "q06_stats" -> ((s, dir) =>
       Pipeline.statsRecords(s, dir).orderBy("conv_id", "turn_idx")),
-    "q07_traffic" -> ((s, dir) =>
-      Pipeline.trafficRecords(s, dir).orderBy("conv_id", "turn_idx")),
+    // dedicated single-branch path: for a traffic-only consumer the
+    // per-branch select evaluates ONE family's columns per row, where the
+    // unified trafficRecords pays all 11 branch structs before filtering
+    // (measured 0.7s vs 1.4s at sf0.1); trafficRecords remains the
+    // unified-API variant for multi-family consumers
+    "q07_traffic" -> ((s, dir) => {
+      val (sy, _) = Pipeline.bases(s, dir)
+      Pipeline.syslogTrafficStats(sy).orderBy("conv_id", "turn_idx")
+    }),
     "q08_sink_counts" -> ((s, dir) =>
       Pipeline.records(s, dir)
         .groupBy("record_type", "remote_log_format", "attack_severity")
