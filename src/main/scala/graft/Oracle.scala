@@ -549,6 +549,24 @@ ranked AS (
 SELECT doc_id, token, tf, df, score, rank FROM ranked
 WHERE rank <= 3 ORDER BY doc_id, rank""",
 
+      // WAV decode oracle: recompute the expected header fields from the
+      // wavMediaTable doc_id arithmetic (the engine parses actual bytes;
+      // agreement proves the little-endian decode is real)
+      "q41_wav_decode" -> """
+WITH p AS (
+  SELECT doc_id,
+    CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+    CAST(1 + doc_id % 2 AS INT) AS n_channels,
+    CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS INT) AS bits_per_sample,
+    CAST(100 + doc_id % 900 AS BIGINT) AS n_samples
+  FROM documents)
+SELECT doc_id,
+  CAST(44 + n_samples * (n_channels * (bits_per_sample // 8)) AS BIGINT) AS byte_len,
+  sample_rate, n_channels, bits_per_sample, n_samples,
+  CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us,
+  'wav' AS format
+FROM p ORDER BY doc_id""",
+
       // Gopher-style quality rules; reason = FIRST failing rule, same order
       "q40_quality_filter" -> """
 WITH s AS (

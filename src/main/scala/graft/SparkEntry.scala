@@ -194,7 +194,10 @@ object SparkEntry {
       operators.DedupOps.decontaminate(docs(s, dir)).orderBy("doc_id")),
     // Gopher-style quality filter: signals + keep/drop with audit reason
     "q40_quality_filter" -> ((s, dir) =>
-      operators.TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id")))
+      operators.TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id")),
+    // real WAV/RIFF header decode (little-endian complement of q31's PNG)
+    "q41_wav_decode" -> ((s, dir) =>
+      operators.Multimodal.decodedWav(s, docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -135,6 +135,94 @@ object Multimodal {
   def decodedPng(spark: SparkSession, docs: DataFrame): DataFrame =
     decode(spark, pngMediaTable(spark, docs)).toDF()
 
+  // ---- real WAV/RIFF header codec (public format: RIFF WAVE, PCM) ----
+
+  case class WavMeta(doc_id: Long, byte_len: Long, sample_rate: Int,
+                     n_channels: Int, bits_per_sample: Int, n_samples: Long,
+                     duration_us: Long, format: String)
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** A valid minimal canonical WAV container (RIFF + fmt + data, PCM),
+    * little-endian fields — the endianness COMPLEMENT of the PNG path, so
+    * the two decoders together pin both byte orders. `nSamples` zero-filled
+    * sample frames are appended so every size field is honest.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val frame = channels * (bits / 8)
+    val dataSize = nSamples * frame
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(ascii("RIFF")).putInt(36 + dataSize).put(ascii("WAVE"))
+      .put(ascii("fmt ")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * frame)                // byte rate
+      .putShort(frame.toShort)                   // block align
+      .putShort(bits.toShort)
+      .put(ascii("data")).putInt(dataSize)
+    bb.array()
+  }
+
+  /** Real WAV header decode: magic + chunk tags verified, fields read
+    * little-endian, size fields cross-checked against the actual buffer
+    * (untrusted input never indexes out of bounds — mismatches decode as
+    * format="corrupt", the task never crashes). Canonical fmt-then-data
+    * layout only, documented: the synthesizer above emits exactly that.
+    */
+  private[graft] def decodeWavOne(docId: Long, bytes: Array[Byte]): WavMeta = {
+    val len = bytes.length.toLong
+    def tag(off: Int, s: String): Boolean =
+      len >= off + 4 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, off, off + 4), ascii(s))
+    val shaped = len >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+      tag(12, "fmt ") && tag(36, "data")
+    if (!shaped)
+      return WavMeta(docId, len, 0, 0, 0, 0L, 0L, "not_wav")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riffSize = bb.getInt(4)
+    val fmtSize = bb.getInt(16)
+    val audioFmt = bb.getShort(20).toInt
+    val channels = bb.getShort(22).toInt
+    val rate = bb.getInt(24)
+    val bits = bb.getShort(34).toInt
+    val dataSize = bb.getInt(40)
+    val frame = channels * (bits / 8)
+    val ok = riffSize == len - 8 && fmtSize == 16 && audioFmt == 1 &&
+      dataSize == len - 44 && frame > 0 && rate > 0
+    if (!ok) WavMeta(docId, len, 0, 0, 0, 0L, 0L, "corrupt")
+    else {
+      val nSamples = dataSize.toLong / frame
+      WavMeta(docId, len, rate, channels, bits, nSamples,
+        nSamples * 1000000L / rate, "wav")
+    }
+  }
+
+  /** documents -> synthesized WAV blobs; rate/channels/bits/samples are a
+    * fixed function of doc_id so the oracle recomputes the expected decode
+    * from arithmetic while the engine parses the actual bytes (same
+    * agreement-proves-decode contract as decodedPng).
+    */
+  def wavMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, wavBytes(
+        sampleRate = (8000 + (id % 5) * 4000).toInt,
+        channels = (1 + id % 2).toInt,
+        bits = if (id % 3 == 0) 16 else 8,
+        nSamples = (100 + id % 900).toInt)))
+      .toDF()
+  }
+
+  def decodedWav(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, docs).select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => decodeWavOne(r.doc_id, r.content)))
+      .toDF()
+  }
+
   /** Deterministic frame sampling (the video feature-extract shape): every
     * `every`-th frame index per document, bounded by the DECODED n_frames —
     * the downstream extractor then joins frames back to blobs co-partitioned

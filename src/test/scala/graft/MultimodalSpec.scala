@@ -49,6 +49,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV header decode reads little-endian fields and rejects corrupt sizes") {
+    val good = Multimodal.wavBytes(sampleRate = 16000, channels = 2, bits = 16, nSamples = 250)
+    assert(good.length == 44 + 250 * 4)
+    val m = Multimodal.decodeWavOne(5L, good)
+    assert(m.sample_rate == 16000 && m.n_channels == 2 && m.bits_per_sample == 16)
+    assert(m.n_samples == 250L && m.format == "wav")
+    // 250 samples at 16 kHz = 15625 us exactly
+    assert(m.duration_us == 15625L)
+
+    // wrong magic -> not_wav
+    val notWav = good.clone(); notWav(0) = 'X'.toByte
+    assert(Multimodal.decodeWavOne(1L, notWav).format == "not_wav")
+    // truncated buffer: data size no longer matches -> corrupt, no crash
+    assert(Multimodal.decodeWavOne(2L, good.take(100)).format == "corrupt")
+    // lying RIFF size -> corrupt
+    val badSize = good.clone(); badSize(4) = (badSize(4) ^ 0x01).toByte
+    assert(Multimodal.decodeWavOne(3L, badSize).format == "corrupt")
+    // zero-channel header (division guard) -> corrupt
+    val zeroCh = good.clone(); zeroCh(22) = 0; zeroCh(23) = 0
+    assert(Multimodal.decodeWavOne(4L, zeroCh).format == "corrupt")
+    // tiny garbage -> not_wav
+    assert(Multimodal.decodeWavOne(6L, Array[Byte](1, 2, 3)).format == "not_wav")
+  }
+
   test("distributed PNG decode matches the doc_id generating arithmetic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val decoded = Multimodal.decodedPng(spark, docs)
