@@ -100,6 +100,48 @@ object StreamingPipeline {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(lifecycleFn)
   }
 
+  // ---- streaming sessionization (parity with ConversationOps.sessionize) ----
+
+  case class SessTurn(conv_id: String, turn_idx: Int, ts: java.sql.Timestamp)
+  case class SessState(lastUs: Long, idx: Int, startUs: Long)
+  case class SessAssign(conv_id: String, turn_idx: Int, session_idx: Int,
+                        session_start_us: Long)
+
+  /** Keyed gap-based sessionization: per-conversation state holds only
+    * (last event-time, session counter, session start) — 20 bytes — and a
+    * turn starts a new session exactly when its gap to the previous turn
+    * exceeds `gapSec` (same rule as the batch window variant; parity pinned
+    * in StreamingSpec). Within a micro-batch turns sort by turn_idx; across
+    * batches the state carries continuity. `session_start_us` is the
+    * EVICTION-STABLE session key: a production deployment bounds state with
+    * an event-time TTL ≥ the gap (any post-eviction turn provably starts a
+    * new session, so only the dense per-conv counter would be lost, never
+    * the session identity).
+    */
+  def sessionizeFn(gapUs: Long)(convId: String, turns: Iterator[SessTurn],
+                                state: GroupState[SessState]): Iterator[SessAssign] = {
+    var s = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0L))
+    val out = turns.toSeq.sortBy(_.turn_idx).map { t =>
+      val us = t.ts.getTime * 1000L + (t.ts.getNanos / 1000) % 1000
+      if (s.lastUs == Long.MinValue || us - s.lastUs > gapUs)
+        s = SessState(us, s.idx + 1, us)
+      else s = s.copy(lastUs = us)
+      SessAssign(convId, t.turn_idx, s.idx, s.startUs)
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  def sessionizeStream(spark: SparkSession, transcripts: DataFrame,
+                       gapSec: Long = 3600): Dataset[SessAssign] = {
+    import spark.implicits._
+    transcripts.select(col("conv_id"), col("turn_idx"), col("ts").cast("timestamp").as("ts"))
+      .as[SessTurn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        sessionizeFn(gapSec * 1000000L))
+  }
+
   /** Streaming exact dedup: drop re-delivered rows by content digest within
     * the watermark horizon — the streaming analog of DedupOps.exactDups for
     * an at-least-once upstream (the socket/file ingest redelivers on

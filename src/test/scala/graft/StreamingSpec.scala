@@ -221,6 +221,42 @@ class StreamingSpec extends SparkSpec {
       s"expected one A and one B, got: $texts")
   }
 
+  test("streaming sessionization carries state across micro-batches and matches batch") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val t = input.toDF().toDF("conv_id", "turn_idx", "ts")
+    val q = StreamingPipeline.sessionizeStream(spark, t, gapSec = 3600)
+      .writeStream.format("memory").queryName("streamsess")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("a", 0, ts("2026-01-01 00:00:00")),
+      ("a", 1, ts("2026-01-01 00:30:00")),   // same session
+      ("b", 0, ts("2026-01-01 00:00:00")))
+    val rows2 = Seq(
+      ("a", 2, ts("2026-01-01 02:00:00")),   // gap > 1h ACROSS batches -> new session
+      ("a", 3, ts("2026-01-01 02:10:00")),
+      ("b", 1, ts("2026-01-01 01:00:00")))   // exactly 3600s -> same session
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    input.addData(rows2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("streamsess")
+      .select("conv_id", "turn_idx", "session_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batch = graft.operators.ConversationOps
+      .sessionize((rows ++ rows2).toDF("conv_id", "turn_idx", "ts"), gapSec = 3600)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    // the eviction-stable key equals the session's first event time
+    val sess2Start = spark.table("streamsess")
+      .filter(col("conv_id") === "a" && col("turn_idx") === 2)
+      .collect()(0).getAs[Long]("session_start_us")
+    assert(sess2Start == ts("2026-01-01 02:00:00").getTime * 1000L)
+  }
+
   test("watermarked windowed sink counts run in append mode") {
     implicit val sql = spark.sqlContext
     // reuse the real parse over a memory stream of raw transcript rows
