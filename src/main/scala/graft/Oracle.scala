@@ -549,6 +549,18 @@ ranked AS (
 SELECT doc_id, token, tf, df, score, rank FROM ranked
 WHERE rank <= 3 ORDER BY doc_id, rank""",
 
+      "q42_pack_sequences" -> """
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prev_cum
+  FROM s)
+SELECT doc_id, source, n_tokens, CAST(prev_cum // 256 AS BIGINT) AS pack_id
+FROM c ORDER BY doc_id""",
+
       // WAV decode oracle: recompute the expected header fields from the
       // wavMediaTable doc_id arithmetic (the engine parses actual bytes;
       // agreement proves the little-endian decode is real)

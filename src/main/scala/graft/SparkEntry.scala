@@ -197,7 +197,10 @@ object SparkEntry {
       operators.TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id")),
     // real WAV/RIFF header decode (little-endian complement of q31's PNG)
     "q41_wav_decode" -> ((s, dir) =>
-      operators.Multimodal.decodedWav(s, docs(s, dir)).orderBy("doc_id")))
+      operators.Multimodal.decodedWav(s, docs(s, dir)).orderBy("doc_id")),
+    // token-budget sequence packing per source shard (prefix-sum fill)
+    "q42_pack_sequences" -> ((s, dir) =>
+      operators.SampleOps.packSequences(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for the training-data pipeline.
@@ -50,4 +51,27 @@ object SampleOps {
       .join(broadcast(rates), Seq("lang"))
       .filter(col("sample_bucket") < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("sample_bucket"))
+
+  /** Sequence packing for training data loaders: assign documents to packs
+    * of ~`budget` tokens via a running prefix sum, per `source` shard.
+    * `pack_id = exclusive_prefix_tokens div budget` — the streaming-fill
+    * variant every loader uses at scale: a pack can exceed the budget by
+    * less than one document (bounded overflow), but assignment is a pure
+    * prefix-sum function, so it parallelizes as one window per shard and is
+    * retry/resume-deterministic. (Exact greedy reset-on-overflow packing is
+    * inherently sequential per shard — it cannot be expressed as a prefix
+    * function — and buys only tighter packing, not correctness.)
+    *
+    * The window partitions by `source`, so the skew ceiling is the largest
+    * single shard, same note as the per-conversation windows; a shard-less
+    * corpus would first be bucketed into synthetic shards by hash.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("_prev_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("_prev_cum") / lit(budget.toLong)).cast("long").as("pack_id"))
+  }
 }

@@ -36,6 +36,27 @@ class SampleSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("sequence packing fills per-shard packs with bounded overflow") {
+    // shard A: 100+100+100+100 tokens at budget 256 -> prev_cums 0,100,200,300
+    // -> packs 0,0,0,1 (pack 0 overflows to 300 < 256+300? bounded by one doc)
+    val docs = Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "A"),
+      (2L, Seq.fill(100)("w").mkString(" "), "A"),
+      (3L, Seq.fill(100)("w").mkString(" "), "A"),
+      (4L, Seq.fill(100)("w").mkString(" "), "A"),
+      (10L, Seq.fill(300)("w").mkString(" "), "B"),  // single oversized doc: own pack
+      (11L, Seq.fill(10)("w").mkString(" "), "B")
+    ).toDF("doc_id", "text", "source")
+    val out = SampleOps.packSequences(docs, budget = 256)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 10L -> 0L, 11L -> 1L))
+    // deterministic: re-run assigns identically (prefix sums, no RNG)
+    val again = SampleOps.packSequences(docs, budget = 256)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("vocab top-k counts globally, breaks ties by token, plans as TakeOrdered") {
     val docs = Seq(
       (1L, "b b b a a c"),
