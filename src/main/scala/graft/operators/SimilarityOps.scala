@@ -157,6 +157,114 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  // ---- trained IVF: k-means coarse quantizer (the FAISS-IVF shape) ----
+
+  /** Squared L2 to every centroid; returns (argmin cid, min distance). */
+  private def nearestCentroid(cents: Array[Array[Double]], v: Seq[Float]): (Int, Double) = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c); var d = 0.0; var i = 0
+      while (i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** Lloyd k-means over the embedding table — the trained coarse quantizer
+    * a production IVF index uses instead of data-independent sign-LSH
+    * cells. Deterministically seeded (k lowest vec_ids); each round is one
+    * narrow assignment pass (centroids broadcast — the model is k x dim
+    * doubles, a few KB, the one thing that legitimately lives on the
+    * driver, exactly MLlib KMeans' shape) plus a per-(cell, dim)
+    * partial-combined average. Returns (centroids, per-round assignment
+    * costs; Lloyd guarantees the sequence is non-increasing).
+    *
+    * No DuckDB oracle for training: distributed float summation is
+    * partition-order-dependent, so cross-engine bit-equality is undefined
+    * for learned weights; correctness is pinned in SimilaritySpec as
+    * properties instead (cost monotonicity + recall vs exact brute force).
+    */
+  def trainCentroids(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+                     k: Int = 8, iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    var cents = vecs.orderBy("vec_id").limit(k).collect()
+      .map(_._2.map(_.toDouble).toArray)
+    val costs = collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = vecs.map { case (_, v) =>
+        val (cid, d2) = nearestCentroid(bc.value, v)
+        (cid, d2, v)
+      }.toDF("cid", "d2", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scalar assignment cost under the CURRENT centroids (driver fetch of
+      // a 1-row aggregate, same pattern as Lineage.commitPartition)
+      costs += assigned.agg(sum("d2")).head().getDouble(0)
+      // new centroid = per-(cell, dim) mean; the collect is k x dim rows —
+      // the model, not data
+      val rows = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+        .collect()
+      assigned.unpersist()
+      val next = cents.clone()
+      rows.groupBy(_.getAs[Int]("cid")).foreach { case (cid, rs) =>
+        next(cid) = rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toArray
+      }
+      cents = next
+      bc.destroy()
+    }
+    (cents, costs.toSeq)
+  }
+
+  /** Corpus -> (vec_id, embedding, cid) under a trained quantizer. */
+  def assignCells(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+                  cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(bc.value, v)._1) }
+      .toDF("vec_id", "embedding", "cid")
+  }
+
+  /** Trained-IVF ANN: queries probe their `nProbe` nearest cells only —
+    * the trained analog of lshTopK. At 100 TB the cell id is the partition
+    * key of the vector table (buildIvfIndex pattern), a probe reads
+    * nProbe/k of the data, and the probe list broadcasts (nQueries x
+    * nProbe rows). Exact rerank inside the probed cells; partial top-k
+    * before the rank window as everywhere else.
+    */
+  def ivfTrainedTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+                     nQueries: Int = 10, k: Int = 3, cells: Int = 8,
+                     iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (cents, _) = trainCentroids(spark, emb, cells, iters)
+    val assigned = assignCells(spark, emb, cents)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        bc.value.indices
+          .map(c => (c, {
+            var d = 0.0; var i = 0
+            while (i < bc.value(c).length) { val t = v(i) - bc.value(c)(i); d += t * t; i += 1 }
+            d
+          }))
+          .sortBy(_._2).take(nProbe)
+          .map { case (cid, _) => (id, v, cid) }
+      }
+      .toDF("query_id", "qv", "cid")
+    val scored = assigned.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cid"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the same
     * sign-LSH bucketing (candidates must share a bucket).
     */

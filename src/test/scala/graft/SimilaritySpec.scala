@@ -48,6 +48,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.3) // 8-bit sign buckets on random vectors: coarse but useful
   }
 
+  test("trained IVF: Lloyd cost is non-increasing; probe recall beats its coverage floor") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (cents, costs) = SimilarityOps.trainCentroids(spark, emb, k = 8, iters = 3)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // Lloyd guarantee (up to float summation noise)
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"cost increased: $costs")
+    }
+    info(f"kmeans costs: ${costs.map(c => f"$c%.1f").mkString(" -> ")}")
+
+    // every vector lands in exactly one cell; cells are non-trivially used
+    val assigned = SimilarityOps.assignCells(spark, emb, cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cid").distinct().count() >= 2)
+
+    val k = 3
+    val brute = SimilarityOps.bruteTopK(emb, nQueries = 10, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SimilarityOps.ivfTrainedTopK(spark, emb, nQueries = 10, k = k,
+        cells = 8, iters = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, exact) =>
+      ivf.get(q).map(a => (a intersect exact).size.toDouble / exact.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@$k of trained IVF (nProbe=2/8) vs exact: $mean%.2f")
+    // a query always probes its own cell -> recalls itself at minimum
+    assert(recalls.forall(_ >= 1.0 / k))
+    assert(mean > 0.3)
+  }
+
   test("top-k physical plan: rank window sees only the bounded partial top-k, not the scored set") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
     val k = 4
