@@ -549,6 +549,38 @@ ranked AS (
 SELECT doc_id, token, tf, df, score, rank FROM ranked
 WHERE rank <= 3 ORDER BY doc_id, rank""",
 
+      // BM25 oracle: same rational idf, same literals (all exactly-
+      // representable doubles), and the same sorted left-fold over matched
+      // terms — a float SUM aggregate would be partition-order-dependent on
+      // the Spark side and is deliberately absent from BOTH implementations
+      "q43_bm25_search" -> """
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl0,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_len
+  FROM documents),
+tf AS (
+  SELECT doc_id, CAST(dl0 AS DOUBLE) AS dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT doc_id, term,
+    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avg_len)) AS s
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+agg AS (
+  SELECT doc_id, list_sort(list(struct_pack(term := term, s := s))) AS parts
+  FROM sc GROUP BY 1),
+res AS (
+  SELECT doc_id, CAST(len(parts) AS INT) AS n_terms_matched,
+    list_reduce(list_prepend(0.0, list_transform(parts, p -> p.s)), (x, y) -> x + y) AS score
+  FROM agg)
+SELECT doc_id, n_terms_matched, score FROM res
+ORDER BY score DESC, doc_id LIMIT 20""",
+
       "q42_pack_sequences" -> """
 WITH s AS (
   SELECT doc_id, source,

@@ -200,7 +200,12 @@ object SparkEntry {
       operators.Multimodal.decodedWav(s, docs(s, dir)).orderBy("doc_id")),
     // token-budget sequence packing per source shard (prefix-sum fill)
     "q42_pack_sequences" -> ((s, dir) =>
-      operators.SampleOps.packSequences(docs(s, dir)).orderBy("doc_id")))
+      operators.SampleOps.packSequences(docs(s, dir)).orderBy("doc_id")),
+    // BM25-style corpus search for a fixed term query (rational idf,
+    // sorted-fold scoring for cross-engine bit-equality)
+    "q43_bm25_search" -> ((s, dir) =>
+      operators.TextOps.bm25Search(docs(s, dir), Seq("spark", "window", "join"))
+        .orderBy(col("score").desc, col("doc_id"))))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -205,6 +205,56 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "score", "rank")
   }
 
+  /** BM25-style retrieval over the corpus for a fixed term query — the
+    * search surface a training-data curation UI runs ("show me documents
+    * about X"). Portability choices, both load-bearing for the oracle:
+    *
+    *   - RATIONAL idf `(N - df + 0.5) / (df + 0.5)` (no ln(): exactly-
+    *     rounded IEEE ops only, same as tfidfTopK);
+    *   - the per-document score is a FOLD over the matched terms in sorted
+    *     term order (`aggregate(sort_array(...))`), never a float SUM
+    *     aggregate — distributed sum order is nondeterministic, a sorted
+    *     left-fold is bit-stable and matches DuckDB's list_reduce.
+    *
+    * Scale shape: the query-term filter lands on the exploded index before
+    * any aggregation (only matching postings survive the map side), df for
+    * the <= |query| terms broadcasts, and the final top-k plans as
+    * TakeOrdered — no global sort.
+    */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+                 k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    // k1=1.25, b=0.75: every derived literal (k1+1=2.25, 1-b=0.25) is an
+    // exactly-representable double, so the oracle's SQL literals denote the
+    // same bits without relying on cross-engine literal-parsing agreement
+    val corpus = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_len"))
+    val tf = corpus
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count("*").cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count("*").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_r",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("s",
+        col("idf_r") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avg_len"))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("s")))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).as("n_terms_matched"),
+        aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("s"))
+          .as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** SimHash over token signatures, `bits` wide: bit j of the hash is the
     * sign of the sum over tokens of ±1 by bit j of the spread signature.
     * Implemented explode-side (shuffle on doc_id) — the shape that scales:

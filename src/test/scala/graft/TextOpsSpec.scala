@@ -82,6 +82,26 @@ class TextOpsSpec extends SparkSpec {
     assert(one.getAs[Double]("dup_2gram_ratio") == 0.0)
   }
 
+  test("bm25Search ranks by term rarity and tf saturation; unmatched docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),   // high tf on a rare term
+      (2L, "spark filler filler filler filler"),
+      (3L, "common words only here nothing"),    // no query term -> absent
+      (4L, "window join filler filler filler")   // matches two terms
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, Seq("spark", "window", "join"), k = 10)
+      .collect()
+    assert(!out.map(_.getLong(0)).contains(3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // more matched terms reported correctly
+    assert(byId(4L).getAs[Int]("n_terms_matched") == 2)
+    assert(byId(1L).getAs[Int]("n_terms_matched") == 1)
+    // tf monotonicity: doc 1 (tf=3) outscores doc 2 (tf=1), same term/length
+    assert(byId(1L).getAs[Double]("score") > byId(2L).getAs[Double]("score"))
+    // two rare terms outscore one: doc 4 highest
+    assert(out.head.getLong(0) == 4L)
+  }
+
   test("tfidf top-k physical plan bounds each doc partition before the rank window") {
     val docs = (1L to 40L).map(i => (i, s"w$i common shared")).toDF("doc_id", "text")
     val plan = TextOps.tfidfTopK(docs).queryExecution.executedPlan.toString()
