@@ -549,6 +549,20 @@ ranked AS (
 SELECT doc_id, token, tf, df, score, rank FROM ranked
 WHERE rank <= 3 ORDER BY doc_id, rank""",
 
+      // exact quantile_cont vs Spark percentile: both interpolate at
+      // position (n-1)p over the sorted values
+      "q44_corpus_profile" -> """
+WITH s AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+  min(n_tokens) AS min_tokens,
+  quantile_cont(n_tokens, 0.25) AS p25,
+  quantile_cont(n_tokens, 0.5) AS p50,
+  quantile_cont(n_tokens, 0.75) AS p75,
+  max(n_tokens) AS max_tokens
+FROM s GROUP BY lang ORDER BY lang""",
+
       // BM25 oracle: same rational idf, same literals (all exactly-
       // representable doubles), and the same sorted left-fold over matched
       // terms — a float SUM aggregate would be partition-order-dependent on

@@ -205,7 +205,10 @@ object SparkEntry {
     // sorted-fold scoring for cross-engine bit-equality)
     "q43_bm25_search" -> ((s, dir) =>
       operators.TextOps.bm25Search(docs(s, dir), Seq("spark", "window", "join"))
-        .orderBy(col("score").desc, col("doc_id"))))
+        .orderBy(col("score").desc, col("doc_id"))),
+    // per-language corpus profile: exact token-length quartiles
+    "q44_corpus_profile" -> ((s, dir) =>
+      operators.TextOps.corpusProfile(docs(s, dir)).orderBy("lang")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -205,6 +205,29 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "score", "rank")
   }
 
+  /** Per-stratum corpus profile: count + EXACT token-length quantiles per
+    * language (the distribution sheet a curation run records per shard).
+    * Spark's `percentile` is the exact sorted-interpolation aggregate —
+    * partial state is a per-group value buffer, merge is order-insensitive,
+    * so unlike float sums the result is deterministic; interpolation runs
+    * over exact longs at positions (n-1)p. At 100 TB the per-group buffer
+    * is the cost driver — for unbounded groups the documented swap-in is
+    * approx_percentile (t-digest) at a stated error bound.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count("*").as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D))").as("quartiles"),
+        max("n_tokens").as("max_tokens"))
+      .select(col("lang"), col("n_docs"), col("min_tokens"),
+        element_at(col("quartiles"), 1).as("p25"),
+        element_at(col("quartiles"), 2).as("p50"),
+        element_at(col("quartiles"), 3).as("p75"),
+        col("max_tokens"))
+
   /** BM25-style retrieval over the corpus for a fixed term query — the
     * search surface a training-data curation UI runs ("show me documents
     * about X"). Portability choices, both load-bearing for the oracle:
