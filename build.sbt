@@ -16,6 +16,11 @@ run / fork := true
 // stdout that the driver parses (BENCH_r01 recorded parsed:null because the
 // prefix broke it).
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's own "[success] Total time" epilogue, which lands
+// AFTER the JSON line and made a last-line parser read junk (BENCH_r02
+// recorded parsed:null with the JSON intact one line earlier).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

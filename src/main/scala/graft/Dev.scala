@@ -18,7 +18,13 @@ object Dev {
       (1 to 2).foreach { r =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, dir).count()
-        println(f"[time] $q run$r: ${(System.nanoTime() - t0) / 1e9}%.1f s rows=$n")
+        val tc = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val t1 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+        val te = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        println(f"[time] $q run$r: count ${tc}%.1f s (rows=$n), exec ${te}%.1f s")
       }
     }
     spark.stop()

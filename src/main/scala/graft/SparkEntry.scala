@@ -55,15 +55,11 @@ object SparkEntry {
       Pipeline.attacksCorrelated(s, dir).orderBy("conv_id", "turn_idx")),
     "q06_stats" -> ((s, dir) =>
       Pipeline.statsRecords(s, dir).orderBy("conv_id", "turn_idx")),
-    // dedicated single-branch path: for a traffic-only consumer the
-    // per-branch select evaluates ONE family's columns per row, where the
-    // unified trafficRecords pays all 11 branch structs before filtering
-    // (measured 0.7s vs 1.4s at sf0.1); trafficRecords remains the
-    // unified-API variant for multi-family consumers
-    "q07_traffic" -> ((s, dir) => {
-      val (sy, _) = Pipeline.bases(s, dir)
-      Pipeline.syslogTrafficStats(sy).orderBy("conv_id", "turn_idx")
-    }),
+    // unified family-pruned path: explodedAll(families=traffic) renders
+    // ONLY the traffic branch per row (identical plan cost to the old
+    // dedicated bases() select, same oracle)
+    "q07_traffic" -> ((s, dir) =>
+      Pipeline.trafficRecords(s, dir).orderBy("conv_id", "turn_idx")),
     "q08_sink_counts" -> ((s, dir) =>
       Pipeline.records(s, dir)
         .groupBy("record_type", "remote_log_format", "attack_severity")
@@ -107,24 +103,10 @@ object SparkEntry {
         .turnDeltas(graft.sources.TranscriptStore.table(s, dir))
         .orderBy("conv_id", "turn_idx")
     }),
-    // downstream analytics over the routed families: relational join +
-    // rollup (attacks x their mitigation-stat samples, per attack_id)
-    "q15_attack_rollup" -> ((s, dir) => {
-      // attacksCorrelated: only id/name/category are referenced, so
-      // Catalyst drops the (unreferenced) lifecycle join — one parse pass
-      // per side instead of the former ~7 per-branch scans
-      val attacks = Pipeline.attacksCorrelated(s, dir)
-        .filter(col("attack_id") =!= 0L)
-        .select(col("attack_id"), col("attack_name"), col("attack_category"))
-      val stats = Pipeline.statsRecords(s, dir)
-        .filter(col("attack_id") =!= 0L)
-        .groupBy("attack_id")
-        .agg(count("*").as("n_samples"),
-          sum(col("attack_drop_rate").cast("long")).as("total_drop"),
-          max("attack_detection_rate").as("peak_detection"))
-      attacks.join(stats, Seq("attack_id"), "left")
-        .orderBy("attack_id", "attack_name")
-    }),
+    // downstream analytics over the routed families: rollup (attacks x
+    // their mitigation-stat samples, per attack_id) in ONE transcript scan
+    "q15_attack_rollup" -> ((s, dir) =>
+      Pipeline.attackRollup(s, dir).orderBy("attack_id", "attack_name")),
 
     // ---- training-data ops: dedup / text analysis / ANN / multimodal ----
     "q20_dedup_exact" -> ((s, dir) =>

@@ -70,33 +70,64 @@ object Lineage {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def commitPartition(records: DataFrame, outRoot: String, partition: String): Entry = {
-    val part = records.filter(col("record_type") === partition)
+  /** Commit one routed partition from the staged read-back: write the final
+    * sink, then read the WRITTEN sink back for (rows, watermark) — the
+    * manifest describes the bytes on disk, not the plan that produced them.
+    */
+  private def commitPartition(spark: SparkSession, back: DataFrame,
+                              lifeAgg: DataFrame, outRoot: String,
+                              partition: String): Entry = {
+    import graft.operators.Pipeline
+    val part0 = back.filter(col("record_type") === partition).drop("record_type")
+    val part =
+      if (partition == Pipeline.Attacks) Pipeline.applyLifecycleToAttacks(part0, lifeAgg)
+      else part0
     part.write.mode("overwrite").parquet(s"$outRoot/record_type=$partition")
-    val agg = part.agg(count("*"), max("ts")).collect().head
+    val agg = spark.read.parquet(s"$outRoot/record_type=$partition")
+      .agg(count("*"), max("ts")).collect().head
     Entry(partition, agg.getLong(0), Option(agg.get(1)).map(_.toString).getOrElse(""),
       committed = true)
   }
 
   /** Route all (or the given subset of) record partitions with per-partition
     * lineage commits. `limitTo` exists so tests can simulate a mid-run kill.
+    *
+    * Stage-once shape (Router's): the parse pass runs ONCE per run into a
+    * staged partitioned sink (incl. the internal `_stop` rows); every
+    * partition commit is then a column-complete columnar read of its staged
+    * slice, and the attacks commit applies the W3 lifecycle rewrite from a
+    * NARROW staged read-back — the old per-commit re-filter of records()
+    * cost one full parse+lifecycle pass per partition (3x per run).
+    * A resumed run restages (one parse) and commits only the uncommitted
+    * remainder; committed sinks are never rewritten.
     */
   def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1,
             limitTo: Option[Set[String]] = None): Manifest = {
-    val records = graft.operators.Pipeline.records(spark, dir, rep)
+    import graft.operators.{Pipeline, Router}
+    import graft.sources.Transcripts
+    Pipeline.configure(spark)
     val snap = snapshotId(dir, rep,
       graft.sources.TranscriptStore.table(spark, dir, rep).count())
     val prior = readManifest(outRoot).filter(_.snapshotId == snap)
       .map(_.entries.filter(_.committed).map(e => e.partition -> e).toMap)
       .getOrElse(Map.empty)
     var entries = prior
-    Partitions.foreach { p =>
-      val wanted = limitTo.forall(_.contains(p))
-      if (wanted && !entries.contains(p)) {
-        entries = entries + (p -> commitPartition(records, outRoot, p))
+    val todo = Partitions.filter(p => limitTo.forall(_.contains(p)) && !prior.contains(p))
+    if (todo.nonEmpty) {
+      val staged = s"$outRoot/_staged"
+      val t = Pipeline.healthFilter(
+        graft.sources.TranscriptStore.table(spark, dir, rep),
+        Transcripts.healthStrings(spark))
+      Pipeline.explodedAll(t, Transcripts.utcOffsets(spark))
+        .write.mode("overwrite").partitionBy("record_type").parquet(staged)
+      val back = spark.read.parquet(staged)
+      lazy val lifeAgg = Pipeline.lifeAggOf(Pipeline.lifeFactsFromStaged(back))
+      todo.foreach { p =>
+        entries = entries + (p -> commitPartition(spark, back, lifeAgg, outRoot, p))
         writeManifest(outRoot, Manifest(snap, s"$dir x$rep",
           Partitions.flatMap(entries.get)))
       }
+      Router.rmrf(java.nio.file.Paths.get(staged))
     }
     Manifest(snap, s"$dir x$rep", Partitions.flatMap(entries.get))
   }

@@ -24,6 +24,18 @@ import graft.sources.Transcripts
   */
 object Pipeline {
 
+  /** Routed family names (S5 sink axes) + the internal stop pseudo-family. */
+  val Attacks = "attacks"
+  val Stats = "attack_mitigation_stats"
+  val Traffic = "traffic_stats"
+  val Stop = "_stop"
+
+  /** The externally-routed families (what records() emits). */
+  val RecordFamilies: Set[String] = Set(Attacks, Stats, Traffic)
+
+  /** Every family incl. the internal `_stop` rows (what Router stages). */
+  val AllFamilies: Set[String] = RecordFamilies + Stop
+
   /** Spark-side session knobs the parse path relies on. Idempotent. */
   def configure(spark: SparkSession): Unit = {
     // Ruby's elsif chains are last-assignment-wins; map_from_entries must
@@ -532,32 +544,39 @@ object Pipeline {
   }
 
   /** Single-pass records: ONE scan of transcripts, conditional parse into a
-    * format-appropriate kv map, one struct per matched branch, explode (the
-    * reference's 0..2-events-per-message E1), then the W3 lifecycle as one
-    * window over attack_id. The routed output is everything except the
-    * internal `_stop` rows.
+    * format-appropriate kv map, one struct per matched branch (only the
+    * REQUESTED families' branches are built — nested-field pruning cannot
+    * reach through explode(array(struct...)), so an unrequested family's
+    * ~50-column struct render is real per-row work Catalyst can't remove),
+    * explode (the reference's 0..2-events-per-message E1), then the W3
+    * lifecycle joined from a dedicated NARROW facts scan (`lifeFacts`) that
+    * parses only the stop-relevant keys — the full-width struct render runs
+    * exactly once per consumed family.
     */
-  def records(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {
+  def records(spark: SparkSession, dir: String, rep: Int = 1,
+              families: Set[String] = RecordFamilies): DataFrame = {
     configure(spark)
     val t = healthFilter(
       graft.sources.TranscriptStore.table(spark, dir, rep),
       Transcripts.healthStrings(spark))
-    resolveLifecycle(explodedAll(t, Transcripts.utcOffsets(spark)))
+    val offsets = Transcripts.utcOffsets(spark)
+    val ex = explodedAll(t, offsets, families - Stop)
+    if (families(Attacks)) applyLifecycle(ex, lifeAggOf(lifeFacts(t, offsets)))
+    else ex
   }
 
-  /** The stateless single-pass parse+explode over (health-filtered)
-    * transcripts, INCLUDING the internal `_stop` pseudo-records. Shared by
-    * the batch path (records) and Structured Streaming (StreamingPipeline),
-    * which resolve the lifecycle differently (window vs. keyed state).
+  /** The shared parse base: format dispatch, quote strip, one-pass KV scan,
+    * dynamic-label pairing, PRI decomposition, offset enrichment. Every
+    * withColumn here is a lazy projection — consumers that never reference
+    * `dyn` or `facility` pay nothing for them (column pruning).
     */
-  def explodedAll(t: DataFrame, offsets: DataFrame): DataFrame = {
+  private def parsedBase(t: DataFrame, offsets: DataFrame): DataFrame = {
     val fmt = remoteLogFormat(col("text"))
     val isSy = col("fmt") === "Syslog"
     val spl = split(col("text"), "\\|")
     val cefOk = col("fmt") === "CEF" && size(col("spl")) === 8 &&
       (isAfm || (isAsm && element_at(col("spl"), 5) === "DOS L7 attack"))
-
-    val base = t
+    t
       .withColumn("fmt", fmt)
       .filter(col("fmt") =!= "Unknown")
       .withColumn("msg", when(col("fmt") === "Syslog", stripQuotes(col("text"))).otherwise(col("text")))
@@ -572,31 +591,50 @@ object Pipeline {
       .withColumn("host", when(isSy, kvv("bigip_mgmt_ip")).otherwise(kvv("dvc")))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
+  }
 
+  /** The 11 E1 branches in the reference's emission order, tagged by family
+    * so consumers can prune. Order is load-bearing for the dual-emit turns
+    * (ASM Attack started emits its start struct before its piggy-backed
+    * stats struct, matching bbn_cef.rb:662-913's sequential pushes).
+    */
+  private def branchSpecs: Seq[(String, Column)] = {
+    val isSy = col("fmt") === "Syslog"
     val afmStatus = dyn("attack_status")
     // CEF/AFM stop keys come from a SYSLOG-regex scan of the raw message
     // (bbn_cef.rb:541) — computed lazily only on matching rows.
     val afmStopKv = kvSyslog(col("text"))
-
-    val branches = array(
-      when(isSy && condSyStart, recStruct(colsSyslogStart)),
-      when(isSy && condSySync, recStruct(colsSyslogSync)),
-      when(isSy && condSySample, recStruct(colsSyslogSample)),
-      when(isSy && condTraffic, recStruct(colsTraffic)),
-      when(isSy && condSyStop,
+    Seq(
+      Attacks -> when(isSy && condSyStart, recStruct(colsSyslogStart)),
+      Attacks -> when(isSy && condSySync, recStruct(colsSyslogSync)),
+      Stats -> when(isSy && condSySample, recStruct(colsSyslogSample)),
+      Traffic -> when(isSy && condTraffic, recStruct(colsTraffic)),
+      Stop -> when(isSy && condSyStop,
         stopStruct(kvv("dos_attack_id"), toUtcOrEmpty(kvv("date_time"), col("offh")))),
-      when(col("cef_ok") && isAfm && afmStatus === "Attack Started", recStruct(colsCefStart(afm = true))),
-      when(col("cef_ok") && isAfm && afmStatus === "Attack Sampled", recStruct(colsCefAfmSample)),
-      when(col("cef_ok") && isAfm && afmStatus === "Attack Stopped",
+      Attacks -> when(col("cef_ok") && isAfm && afmStatus === "Attack Started", recStruct(colsCefStart(afm = true))),
+      Stats -> when(col("cef_ok") && isAfm && afmStatus === "Attack Sampled", recStruct(colsCefAfmSample)),
+      Stop -> when(col("cef_ok") && isAfm && afmStatus === "Attack Stopped",
         stopStruct(element_at(afmStopKv, "dos_attack_id"),
           toUtcOrEmpty(element_at(afmStopKv, "date_time"), col("offh")))),
-      when(col("cef_ok") && isAsm && afmStatus === "Attack started", recStruct(colsCefStart(afm = false))),
-      when(col("cef_ok") && isAsm && afmStatus.isin("Attack started", "Mitigation stats", "Mitigation changed"),
+      Attacks -> when(col("cef_ok") && isAsm && afmStatus === "Attack started", recStruct(colsCefStart(afm = false))),
+      Stats -> when(col("cef_ok") && isAsm && afmStatus.isin("Attack started", "Mitigation stats", "Mitigation changed"),
         recStruct(colsCefAsmStats)),
-      when(col("cef_ok") && isAsm && afmStatus === "Attack ended",
+      Stop -> when(col("cef_ok") && isAsm && afmStatus === "Attack ended",
         stopStruct(dyn("attack_id"), toUtcOrEmpty(kvv("rt"), col("offh")))))
+  }
 
-    base
+  /** The stateless single-pass parse+explode over (health-filtered)
+    * transcripts. `families` prunes the branch array to the requested
+    * record families (default: everything incl. the internal `_stop`
+    * pseudo-records) — a single-family consumer renders one family's
+    * structs per row instead of all eleven. Shared by the batch path
+    * (records), the routed write (Router) and Structured Streaming
+    * (StreamingPipeline), which resolve the lifecycle differently.
+    */
+  def explodedAll(t: DataFrame, offsets: DataFrame,
+                  families: Set[String] = AllFamilies): DataFrame = {
+    val branches = array(branchSpecs.collect { case (f, c) if families(f) => c }: _*)
+    parsedBase(t, offsets)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("facility"), col("severity"),
         explode(filter(branches, b => b.isNotNull)).as("rec"))
@@ -604,29 +642,84 @@ object Pipeline {
         col("facility"), col("severity"), col("rec.*"))
   }
 
-  /** W3 over the exploded stream with a NARROW exchange: lifecycle facts
-    * (start count, last stop time) aggregate over just (attack_id, ts,
-    * device_utc_time) — a few dozen bytes per row — and join back onto the
-    * full-width records. The wide rows (payload strings) never shuffle; AQE
-    * turns the join into a broadcast when the per-attack table is small,
-    * which it is by construction (episodes, not turns). The internal
-    * `_stop` rows are dropped from the routed output.
+  /** W3 lifecycle facts from a DEDICATED narrow scan: one row per start or
+    * stop event carrying only (attack_id, is_atk, ts, device_utc_time).
+    * This is the cheap side of the lifecycle resolution — it re-scans the
+    * source but renders NO record structs (the KV scan plus three probed
+    * keys), so the full-width parse subtree runs once, not twice, per
+    * records() consumer. Start facts carry no timestamp (only the stop
+    * side's max matters); zero attack_ids never produce a fact (the
+    * hits==1 guard's `!= 0` precondition, bbn_syslog.rb:283-307).
     */
-  def resolveLifecycle(exploded: DataFrame): DataFrame = {
-    val isAtk = col("record_type") === "attacks"
-    val isStop = col("record_type") === "_stop"
-    val lifeAgg = exploded
-      .filter((isAtk || isStop) && col("attack_id") =!= 0L)
-      .select(col("attack_id"), isAtk.as("is_atk"), col("ts"), col("device_utc_time"))
-      .groupBy("attack_id")
+  def lifeFacts(t: DataFrame, offsets: DataFrame): DataFrame = {
+    val isSy = col("fmt") === "Syslog"
+    val afmStatus = dyn("attack_status")
+    val afmStopKv = kvSyslog(col("text"))
+    def fact(aid: Column, isAtk: Boolean, utc: Column): Column =
+      when(coalesce(aid.cast("long"), lit(0L)) =!= 0L,
+        struct(aid.cast("long").as("attack_id"), lit(isAtk).as("is_atk"),
+          utc.as("device_utc_time")))
+    val noUtc = lit(null).cast("string")
+    val facts = array(
+      when(isSy && condSyStart, fact(kvv("dos_attack_id"), isAtk = true, noUtc)),
+      when(isSy && condSyStop,
+        fact(kvv("dos_attack_id"), isAtk = false, toUtcOrEmpty(kvv("date_time"), col("offh")))),
+      when(col("cef_ok") && isAfm && afmStatus === "Attack Started",
+        fact(dyn("attack_id"), isAtk = true, noUtc)),
+      when(col("cef_ok") && isAfm && afmStatus === "Attack Stopped",
+        fact(element_at(afmStopKv, "dos_attack_id"), isAtk = false,
+          toUtcOrEmpty(element_at(afmStopKv, "date_time"), col("offh")))),
+      when(col("cef_ok") && isAsm && afmStatus === "Attack started",
+        fact(dyn("attack_id"), isAtk = true, noUtc)),
+      when(col("cef_ok") && isAsm && afmStatus === "Attack ended",
+        fact(dyn("attack_id"), isAtk = false, toUtcOrEmpty(kvv("rt"), col("offh")))))
+    parsedBase(t, offsets)
+      .select(col("ts"), explode(filter(facts, b => b.isNotNull)).as("f"))
+      .select(col("f.attack_id"), col("f.is_atk"), col("ts"), col("f.device_utc_time"))
+  }
+
+  /** Same facts, extracted from a staged routed read-back (Router/Lineage
+    * phase 2): a column-pruned columnar read instead of a re-parse.
+    */
+  def lifeFactsFromStaged(back: DataFrame): DataFrame =
+    back.filter(col("record_type").isin(Attacks, Stop) && col("attack_id") =!= 0L)
+      .select(col("attack_id"), (col("record_type") === Attacks).as("is_atk"),
+        col("ts"), col("device_utc_time"))
+
+  /** Per-attack lifecycle aggregate over the narrow facts: start count (the
+    * hits==1 guard) and last stop time in stream order (max_by ts — the
+    * last synchronous ES re-update wins in the reference).
+    */
+  def lifeAggOf(facts: DataFrame): DataFrame =
+    facts.groupBy("attack_id")
       .agg(
         sum(when(col("is_atk"), 1).otherwise(0)).as("_n_starts"),
         max(when(!col("is_atk"), struct(col("ts"), col("device_utc_time"))))
           .getField("device_utc_time").as("_stop_utc"))
-    val closed = isAtk && col("_n_starts") === 1 && col("_stop_utc").isNotNull
 
-    exploded
-      .filter(!isStop)
+  /** Join the lifecycle aggregate back onto mixed-family records: a stop
+    * closes its attack iff exactly ONE attacks row carries that attack_id
+    * (hits.total==1, bbn_syslog.rb:283-307). The agg side is per-episode
+    * (attacks, not turns), so AQE resolves the join as a broadcast; the
+    * wide rows never shuffle.
+    */
+  def applyLifecycle(records: DataFrame, lifeAgg: DataFrame): DataFrame = {
+    val closed = col("record_type") === Attacks &&
+      col("_n_starts") === 1 && col("_stop_utc").isNotNull
+    records
+      .join(lifeAgg, Seq("attack_id"), "left")
+      .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
+      .withColumn("attack_end_date",
+        when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
+      .drop("_n_starts", "_stop_utc")
+  }
+
+  /** applyLifecycle for an attacks-only frame (no record_type column —
+    * Router/Lineage commit paths, where the family is the partition dir).
+    */
+  def applyLifecycleToAttacks(atk: DataFrame, lifeAgg: DataFrame): DataFrame = {
+    val closed = col("_n_starts") === 1 && col("_stop_utc").isNotNull
+    atk
       .join(lifeAgg, Seq("attack_id"), "left")
       .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
       .withColumn("attack_end_date",
@@ -652,45 +745,68 @@ object Pipeline {
     (syslogBase(t, offsets), cefBase(t, offsets))
   }
 
-  /** Correlated attacks via the SINGLE-PASS records() path: one scan of
-    * transcripts feeds the exploded superset, the narrow lifecycle agg
-    * resolves W3, and this projects the attacks family's exact column set
-    * back out. The old shape (correlate(attacksAll, attackStops) over
-    * bases()) evaluated the syslog/CEF bases once per family branch plus
-    * once per correlate reference — ~8 column-pruned scans where this
-    * needs 2; both produce identical rows (same family column lists feed
-    * recStruct and famSelect), pinned by the q05/q11 oracle.
+  /** Correlated attacks via the family-pruned records() path: one scan of
+    * transcripts renders ONLY the four attack branches (F5Parse structs for
+    * stats/traffic are never built), the narrow lifeFacts scan resolves W3,
+    * and this projects the attacks family's exact column set back out.
+    * Identical rows to the per-branch correlate(attacksAll, attackStops)
+    * shape (same family column lists feed recStruct and famSelect), pinned
+    * by the q05/q11 oracle.
     */
   def attacksCorrelated(spark: SparkSession, dir: String, rep: Int = 1): DataFrame =
-    records(spark, dir, rep)
-      .filter(col("record_type") === "attacks")
+    records(spark, dir, rep, families = Set(Attacks))
       .select(famNames(colsSyslogStart).map(col): _*)
 
   private def famNames(cols: Seq[(String, Column)]): Seq[String] =
     Seq("conv_id", "turn_idx", "ts") ++ cols.map(_._1) ++ Seq("facility", "severity")
 
-  /** Stats / traffic families off explodedAll in ONE pass: these families
-    * never receive the W3 lifecycle rewrite (resolveLifecycle only touches
-    * record_type 'attacks'), so they skip the lifecycle join entirely —
-    * no second parse pass, no exchange. Identical rows to the per-branch
-    * statsAll/syslogTrafficStats unions (the same column lists feed
-    * recStruct and famSelect), pinned by the q06/q07/q15 oracles.
+  /** Stats / traffic families off the family-pruned explode in ONE pass:
+    * these families never receive the W3 lifecycle rewrite, so they skip
+    * both the lifecycle join and every other family's branch structs.
+    * Identical rows to the per-branch statsAll/syslogTrafficStats unions
+    * (the same column lists feed recStruct and famSelect), pinned by the
+    * q06/q07 oracles.
     */
   def statsRecords(spark: SparkSession, dir: String, rep: Int = 1): DataFrame =
-    familyRecords(spark, dir, rep, "attack_mitigation_stats", colsSyslogSample)
+    familyRecords(spark, dir, rep, Stats, colsSyslogSample)
 
   def trafficRecords(spark: SparkSession, dir: String, rep: Int = 1): DataFrame =
-    familyRecords(spark, dir, rep, "traffic_stats", colsTraffic)
+    familyRecords(spark, dir, rep, Traffic, colsTraffic)
 
   private def familyRecords(spark: SparkSession, dir: String, rep: Int,
-                            family: String, cols: Seq[(String, Column)]): DataFrame = {
+                            family: String, cols: Seq[(String, Column)]): DataFrame =
+    records(spark, dir, rep, families = Set(family))
+      .select(famNames(cols).map(col): _*)
+
+  /** Downstream rollup (attacks x their mitigation-stat samples) in ONE
+    * scan: both families come out of a single family-pruned explode, the
+    * per-attack stat aggregates are window functions over attack_id on a
+    * six-column projection (the wide payload never shuffles), and the
+    * attacks rows filter back out carrying their aggregates — exactly the
+    * left-join result of the old two-scan shape without the second parse.
+    * The skew ceiling is the largest single attack episode (samples per
+    * attack_id), which is bounded by the device's sampling cadence.
+    */
+  def attackRollup(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {
     configure(spark)
     val t = healthFilter(
       graft.sources.TranscriptStore.table(spark, dir, rep),
       Transcripts.healthStrings(spark))
-    explodedAll(t, Transcripts.utcOffsets(spark))
-      .filter(col("record_type") === family)
-      .select(famNames(cols).map(col): _*)
+    val ex = explodedAll(t, Transcripts.utcOffsets(spark), Set(Attacks, Stats))
+    val isAtk = col("record_type") === Attacks
+    val w = Window.partitionBy("attack_id")
+    ex.filter(col("attack_id") =!= 0L)
+      .select(col("attack_id"), isAtk.as("is_atk"),
+        col("attack_name"), col("attack_category"),
+        col("attack_drop_rate"), col("attack_detection_rate"))
+      .withColumn("n_samples", sum(when(!col("is_atk"), lit(1L))).over(w))
+      .withColumn("total_drop",
+        sum(when(!col("is_atk"), col("attack_drop_rate").cast("long"))).over(w))
+      .withColumn("peak_detection",
+        max(when(!col("is_atk"), col("attack_detection_rate"))).over(w))
+      .filter(col("is_atk"))
+      .select("attack_id", "attack_name", "attack_category",
+        "n_samples", "total_drop", "peak_detection")
   }
 
   /** S7 reject side-output: turns that parse to nothing and are not

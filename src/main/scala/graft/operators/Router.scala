@@ -70,22 +70,9 @@ object Router {
 
     // phase 2: lifecycle facts from a narrow read-back of the staged sinks
     val back = spark.read.parquet(staged)
-    val isAtk = col("record_type") === "attacks"
-    val lifeAgg = back
-      .filter(col("record_type").isin("attacks", "_stop") && col("attack_id") =!= 0L)
-      .select(col("attack_id"), isAtk.as("is_atk"), col("ts"), col("device_utc_time"))
-      .groupBy("attack_id")
-      .agg(
-        sum(when(col("is_atk"), 1).otherwise(0)).as("_n_starts"),
-        max(when(!col("is_atk"), struct(col("ts"), col("device_utc_time"))))
-          .getField("device_utc_time").as("_stop_utc"))
-    val closed = col("_n_starts") === 1 && col("_stop_utc").isNotNull
-    back.filter(isAtk)
-      .join(lifeAgg, Seq("attack_id"), "left")
-      .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
-      .withColumn("attack_end_date",
-        when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
-      .drop("_n_starts", "_stop_utc", "record_type")
+    val lifeAgg = Pipeline.lifeAggOf(Pipeline.lifeFactsFromStaged(back))
+    Pipeline.applyLifecycleToAttacks(
+        back.filter(col("record_type") === Pipeline.Attacks).drop("record_type"), lifeAgg)
       .write.mode("overwrite").partitionBy("tool", "attack_severity")
       .parquet(s"$outRoot/record_type=attacks")
     phase("lifecycle rewrite")

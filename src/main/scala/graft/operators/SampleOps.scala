@@ -71,7 +71,10 @@ object SampleOps {
     val nTok = size(TextOps.tokens(col("text"))).cast("long")
     docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"))
       .withColumn("_prev_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integral `div`, not `/`: Spark's `/` on longs is double division,
+      // which matches the oracle's `//` floor only while the quotient is
+      // exactly representable — `div` matches it for every budget
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        (col("_prev_cum") / lit(budget.toLong)).cast("long").as("pack_id"))
+        expr(s"_prev_cum div ${budget.toLong}").cast("long").as("pack_id"))
   }
 }
