@@ -14,6 +14,20 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("--train-ivf")) {
+      // one-off: train the coarse quantizer and print it as Scala literals
+      // (frozen into IvfModel so the DuckDB oracle can replay assignment)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
+      val (cents, costs) = operators.SimilarityOps.trainCentroids(spark, emb, k = 8, iters = 4)
+      System.err.println(s"costs: ${costs.mkString(", ")}")
+      println("  val centroids: Array[Array[Double]] = Array(")
+      cents.foreach { c =>
+        println(c.map(_.toString).grouped(6).map(_.mkString(", "))
+          .mkString("    Array(", ",\n      ", "),"))
+      }
+      println("  )")
+      spark.stop(); return
+    }
     args.drop(1).foreach { q =>
       (1 to 2).foreach { r =>
         val t0 = System.nanoTime()

@@ -417,6 +417,21 @@ FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
     .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
     .mkString("(", " + ", ")")
 
+  /** Squared L2 to a frozen centroid, unrolled as the same left-assoc
+    * double fold SimilarityOps.d2ToCentroid evaluates: `a + b + c` parses
+    * left-associative in SQL, float->double casts are exact, and the
+    * centroid literals are shortest-round-trip doubles that parse to the
+    * identical IEEE-754 values — so cell assignment is bit-equal.
+    */
+  private def ivfD2(c: Array[Double]): String =
+    c.zipWithIndex.map { case (cv, i) =>
+      val t = s"(CAST(embedding[${i + 1}] AS DOUBLE) - ($cv))"
+      s"$t * $t"
+    }.mkString("(", " + ", ")")
+
+  private def ivfDsExpr: String =
+    graft.operators.IvfModel.centroids.map(ivfD2).mkString("[", ", ", "]")
+
   lazy val dataOpsSql: Map[String, String] = {
     val minhashCols = graft.operators.DedupOps.minhashParams(16).zipWithIndex.map {
       case ((a, b), i) =>
@@ -686,6 +701,29 @@ scored AS (
   FROM b e JOIN q USING (bucket)),
 ranked AS (
   SELECT query_id, neighbor_id, bucket,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank,
+    round(c, 6) AS cos_sim
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+      // trained-IVF ANN under the frozen IvfModel quantizer: assignment =
+      // first index of the minimum distance (list_position of list_min ==
+      // Spark's array_position of array_min == a sequential strict-< argmin);
+      // probes = 2 nearest cells per query (ties by cell index)
+      "q45_ivf_ann" -> s"""
+WITH a AS (SELECT vec_id, embedding, $ivfDsExpr AS ds FROM embeddings),
+asg AS (SELECT vec_id, embedding, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cid FROM a),
+q AS (SELECT vec_id AS query_id, embedding AS qv, ds FROM a WHERE vec_id < 10),
+qc AS (SELECT query_id, qv, CAST(j AS INT) AS cid, ds[CAST(j AS INT) + 1] AS d2
+       FROM q, range(8) t(j)),
+pr AS (SELECT query_id, qv, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn FROM qc)
+       WHERE rn <= 2),
+scored AS (
+  SELECT pr.query_id, e.vec_id AS neighbor_id, e.cid, ${cos("pr.qv", "e.embedding")} AS c
+  FROM asg e JOIN pr USING (cid)),
+ranked AS (
+  SELECT query_id, neighbor_id, cid,
     CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank,
     round(c, 6) AS cos_sim
   FROM scored)

@@ -190,7 +190,13 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))),
     // per-language corpus profile: exact token-length quartiles
     "q44_corpus_profile" -> ((s, dir) =>
-      operators.TextOps.corpusProfile(docs(s, dir)).orderBy("lang")))
+      operators.TextOps.corpusProfile(docs(s, dir)).orderBy("lang")),
+    // trained-IVF ANN serving path: frozen k-means quantizer (IvfModel),
+    // 2-of-8 cell probes, exact rerank — recall vs q27's brute force is
+    // pinned >=0.9 in SimilaritySpec
+    "q45_ivf_ann" -> ((s, dir) =>
+      operators.SimilarityOps.ivfFrozenTopK(emb(s, dir), operators.IvfModel.centroids)
+        .orderBy("query_id", "rank")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -265,6 +265,50 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Squared L2 distance to a FROZEN centroid as a strict left-assoc fold:
+    * ((v1-c1)^2 + (v2-c2)^2) + ... in double — the same op sequence the
+    * DuckDB oracle's unrolled expression evaluates, so the result is
+    * bit-identical (float->double widening is exact; literal doubles parse
+    * identically from their shortest round-trip representation).
+    */
+  private def d2ToCentroid(v: Column, cent: Array[Double]): Column =
+    cent.zipWithIndex.map { case (c, i) =>
+      val t = element_at(v, i + 1).cast("double") - lit(c)
+      t * t
+    }.reduceLeft(_ + _)
+
+  /** Trained-IVF ANN over a frozen coarse quantizer (IvfModel): pure
+    * Catalyst, no training pass, no typed map — the production serving
+    * path. Assignment = first index attaining the minimum distance
+    * (array_position of array_min, matching a sequential strict-< argmin);
+    * each query probes its `nProbe` nearest cells (ties by cell index);
+    * exact cosine rerank inside the probed cells with the same partial
+    * top-k reduction as the other ANN paths. At 100 TB the cell id is the
+    * table's partition key (buildIvfIndex pattern): a probe reads
+    * nProbe/k of the data and the probe list broadcasts.
+    */
+  def ivfFrozenTopK(emb: DataFrame, cents: Array[Array[Double]],
+                    nQueries: Int = 10, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    def ds(v: Column): Column = array(cents.map(c => d2ToCentroid(v, c)): _*)
+    val assigned = emb
+      .withColumn("_ds", ds(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        (array_position(col("_ds"), array_min(col("_ds"))) - 1).cast("int").as("cid"))
+    val qd = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        posexplode(ds(col("embedding"))).as(Seq("cid", "d2")))
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cid"))
+    val probes = qd.withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cid"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the same
     * sign-LSH bucketing (candidates must share a bucket).
     */

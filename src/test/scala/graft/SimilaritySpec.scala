@@ -81,6 +81,36 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.3)
   }
 
+  test("frozen-IVF serving path (q45): recall@3 vs exact brute force >= 0.9, no typed map in plan") {
+    // the VERIFY corpus — the frozen IvfModel quantizer was trained on it,
+    // and this pin is the promotion gate for serving q45 from a trained
+    // index instead of sign-LSH (r2 recall 0.33)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(8)
+    val k = 3
+    val brute = SimilarityOps.bruteTopK(emb, nQueries = 10, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SimilarityOps.ivfFrozenTopK(emb, operators.IvfModel.centroids,
+        nQueries = 10, k = k, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, exact) =>
+      ivf.get(q).map(a => (a intersect exact).size.toDouble / exact.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@$k of frozen IVF (nProbe=2/8) vs exact: $mean%.2f")
+    assert(mean >= 0.9, f"frozen-IVF recall regressed: $mean%.2f < 0.9")
+
+    // serving path is pure Catalyst: assignment/probing stay in codegen —
+    // the ONLY object boundary in the plan is the bounded partial top-k
+    // (one MapPartitions), unlike ivfTrainedTopK's typed assignment maps
+    val plan = SimilarityOps.ivfFrozenTopK(emb, operators.IvfModel.centroids)
+      .queryExecution.executedPlan.toString()
+    val nMapPartitions = "MapPartitions".r.findAllIn(plan).size
+    assert(nMapPartitions == 1,
+      s"expected exactly the partial-top-k MapPartitions, found $nMapPartitions:\n${plan.take(2000)}")
+  }
+
   test("top-k physical plan: rank window sees only the bounded partial top-k, not the scored set") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
     val k = 4
