@@ -26,10 +26,16 @@ object Plans {
     }
 
     show("records (single-pass parse->route)", operators.Pipeline.records(spark, dir))
+    show("attacksCorrelated (pruned branches + narrow facts scan)",
+      operators.Pipeline.attacksCorrelated(spark, dir))
+    show("q15 attackRollup (one scan, window aggregates)",
+      operators.Pipeline.attackRollup(spark, dir))
     show("q08_sink_counts", SparkEntry.queries("q08_sink_counts")(spark, dir))
     show("q09_agg_facility", SparkEntry.queries("q09_agg_facility")(spark, dir))
     show("q26_minhash_lsh", SparkEntry.queries("q26_minhash_lsh")(spark, dir))
     show("q27_ann_brute", SparkEntry.queries("q27_ann_brute")(spark, dir))
+    show("q45_ivf_ann (frozen quantizer serving path)",
+      SparkEntry.queries("q45_ivf_ann")(spark, dir))
     spark.stop()
   }
 }

@@ -265,17 +265,25 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** Squared L2 distance to a FROZEN centroid as a strict left-assoc fold:
-    * ((v1-c1)^2 + (v2-c2)^2) + ... in double — the same op sequence the
-    * DuckDB oracle's unrolled expression evaluates, so the result is
-    * bit-identical (float->double widening is exact; literal doubles parse
-    * identically from their shortest round-trip representation).
+  /** Squared L2 distance to a FROZEN centroid as a strict left fold:
+    * 0.0 + (v1-c1)^2 + (v2-c2)^2 + ... in double — the same op sequence the
+    * DuckDB oracle's unrolled left-assoc expression evaluates (the 0.0 seed
+    * is exact: every term is a square, and 0.0 + t == t for t >= 0), so the
+    * result is bit-identical (float->double widening is exact; literal
+    * doubles parse identically from their shortest round-trip form).
+    * Expressed with zip_with/aggregate rather than a 64-term unrolled chain:
+    * the unrolled form times 8 centroids blew janino's 64 KB method limit
+    * and knocked the WHOLE stage out of codegen; the higher-order form is a
+    * localized CodegenFallback expression inside an otherwise codegen'd
+    * stage.
     */
   private def d2ToCentroid(v: Column, cent: Array[Double]): Column =
-    cent.zipWithIndex.map { case (c, i) =>
-      val t = element_at(v, i + 1).cast("double") - lit(c)
-      t * t
-    }.reduceLeft(_ + _)
+    aggregate(
+      zip_with(v, typedLit(cent.toSeq), (x, y) => {
+        val t = x.cast("double") - y
+        t * t
+      }),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Trained-IVF ANN over a frozen coarse quantizer (IvfModel): pure
     * Catalyst, no training pass, no typed map — the production serving

@@ -52,6 +52,32 @@ object StreamingPipeline {
       .agg(count("*").as("n_rows"),
         approx_count_distinct("conv_id").as("n_convs_approx"))
 
+  /** EXACT streaming distinct-conv counts, the foreachBatch-maintained
+    * state-table variant of sinkCounts (whose approx_count_distinct stays
+    * the recommended default — HLL state is O(registers), this is
+    * O(distinct pairs)). Each micro-batch writes its DISTINCT
+    * (window, sink-group, conv_id) pairs into its own `batch_id=<id>`
+    * directory with overwrite — the same idempotent-replay contract as
+    * writeBatch — and the read side counts distinct conv_ids over all
+    * batches. Replays rewrite their own partition and countDistinct
+    * dedups across batches, so the counts are exactly-once without any
+    * cross-batch anti-join in the hot path. At scale the state table is
+    * an Iceberg table compacted by a maintenance job; the per-batch
+    * append stays a narrow distinct of the batch.
+    */
+  def exactConvPairsBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch
+      .select(window(col("ts"), "1 minute").getField("start").as("window_start"),
+        col("record_type"), col("facility"), col("severity"), col("conv_id"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+
+  /** Exact per-sink distinct-conv counts over the maintained pair state. */
+  def exactSinkCounts(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy("window_start", "record_type", "facility", "severity")
+      .agg(countDistinct(col("conv_id")).as("n_convs"))
+
   // ---- W3 streaming lifecycle: flatMapGroupsWithState ----
 
   case class LifeEvent(attack_id: Long, is_stop: Boolean, event_utc: String,
@@ -62,15 +88,14 @@ object StreamingPipeline {
                         attack_start_date: String, attack_end_date: String,
                         n_starts: Int)
 
-  /** Per-attack lifecycle state machine replicating the reference's ES
-    * correlation (bbn_syslog.rb:271-324): starts accumulate; a stop closes
-    * the attack iff exactly ONE start was seen (hits.total==1), otherwise
-    * it is a log-only no-op. Emits the current resolution on every update.
+  /** The lifecycle transition shared by both state variants: starts
+    * accumulate; a stop closes the attack iff exactly ONE start was seen
+    * (hits.total==1, bbn_syslog.rb:271-324), otherwise it is a log-only
+    * no-op.
     */
-  def lifecycleFn(attackId: Long, events: Iterator[LifeEvent],
-                  state: GroupState[LifeState]): Iterator[LifeUpdate] = {
-    var s = state.getOption.getOrElse(LifeState(0, "", "", closed = false))
-    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+  private def applyLifeEvents(s0: LifeState, events: Seq[LifeEvent]): LifeState = {
+    var s = s0
+    events.sortBy(_.ts.getTime).foreach { e =>
       if (e.is_stop) {
         if (s.nStarts == 1) s = s.copy(endDate = e.event_utc, closed = true)
         // 0 or >1 starts: log-only in the reference; state unchanged
@@ -79,13 +104,55 @@ object StreamingPipeline {
           startDate = if (s.startDate.isEmpty) e.event_utc else s.startDate)
       }
     }
+    s
+  }
+
+  /** Per-attack lifecycle state machine replicating the reference's ES
+    * correlation. Emits the current resolution on every update. Unbounded
+    * state (the reference's ES index also keeps every attack forever);
+    * production deployments use `lifecycleFnTtl` to bound state.
+    */
+  def lifecycleFn(attackId: Long, events: Iterator[LifeEvent],
+                  state: GroupState[LifeState]): Iterator[LifeUpdate] = {
+    val s = applyLifeEvents(
+      state.getOption.getOrElse(LifeState(0, "", "", closed = false)), events.toSeq)
     state.update(s)
     Iterator.single(LifeUpdate(attackId, if (s.closed) 0 else 1,
       s.startDate, s.endDate, s.nStarts))
   }
 
-  /** Keyed lifecycle over the exploded record stream (starts + `_stop`s). */
-  def lifecycle(spark: SparkSession, exploded: DataFrame): Dataset[LifeUpdate] = {
+  /** TTL-bounded lifecycle: same transitions, but each update arms an
+    * event-time timeout `ttlMs` past the attack's latest event, and the
+    * timeout callback drops the state. This is what makes the job runnable
+    * over 10^12 turns: state is bounded by the set of attacks ACTIVE within
+    * the TTL horizon, not by stream history. A stop arriving after its
+    * attack's eviction is a log-only no-op (nStarts reads 0 — an orphan),
+    * which is the correct degradation: the reference's guard makes orphan
+    * stops no-ops anyway, so only episodes longer than the TTL can resolve
+    * differently — pick the TTL above the longest plausible episode.
+    */
+  def lifecycleFnTtl(ttlMs: Long)(attackId: Long, events: Iterator[LifeEvent],
+                                  state: GroupState[LifeState]): Iterator[LifeUpdate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val evs = events.toSeq
+      val s = applyLifeEvents(
+        state.getOption.getOrElse(LifeState(0, "", "", closed = false)), evs)
+      state.update(s)
+      state.setTimeoutTimestamp(evs.map(_.ts.getTime).max + ttlMs)
+      Iterator.single(LifeUpdate(attackId, if (s.closed) 0 else 1,
+        s.startDate, s.endDate, s.nStarts))
+    }
+  }
+
+  /** Keyed lifecycle over the exploded record stream (starts + `_stop`s).
+    * `stateTtlMs` switches to the TTL-bounded state machine (event-time
+    * timeout keyed to the watermark).
+    */
+  def lifecycle(spark: SparkSession, exploded: DataFrame,
+                stateTtlMs: Option[Long] = None): Dataset[LifeUpdate] = {
     import spark.implicits._
     val events = exploded
       .filter(col("record_type").isin("attacks", "_stop") && col("attack_id") =!= 0L)
@@ -96,8 +163,16 @@ object StreamingPipeline {
             .otherwise(col("attack_start_date")), lit("")).as("event_utc"),
         col("ts"))
       .as[LifeEvent]
-    events.groupByKey(_.attack_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(lifecycleFn)
+    stateTtlMs match {
+      case Some(ttl) =>
+        events.withWatermark("ts", "0 seconds")
+          .groupByKey(_.attack_id)
+          .flatMapGroupsWithState(OutputMode.Update(),
+            GroupStateTimeout.EventTimeTimeout())(lifecycleFnTtl(ttl))
+      case None =>
+        events.groupByKey(_.attack_id)
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(lifecycleFn)
+    }
   }
 
   // ---- streaming sessionization (parity with ConversationOps.sessionize) ----

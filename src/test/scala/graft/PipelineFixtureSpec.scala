@@ -220,6 +220,31 @@ class PipelineFixtureSpec extends SparkSpec {
     assert(out(2).getInt(1) == 1 && out(2).getString(2) == null)
   }
 
+  test("W3 via the live records path (pruned explode + narrow facts scan) matches the correlate fixture") {
+    val mk = (aid: Int, evt: String, t: String) =>
+      s"<134>x b info tmm1: [hostname=b.lab bigip_mgmt_ip=172.16.21.41 date_time=$t " +
+        s"dos_attack_id=$aid dos_attack_event=$evt severity=1 errdefs_msg_name=Network DoS Event]"
+    val texts = Seq(
+      mk(1, "Attack Started", "2015-03-22 10:00:00"),
+      mk(1, "Attack Stopped", "2015-03-22 10:05:00"),
+      mk(2, "Attack Started", "2015-03-22 10:00:00"),
+      mk(2, "Attack Started", "2015-03-22 10:01:00"),
+      mk(2, "Attack Stopped", "2015-03-22 10:06:00"), // 2 hits -> log only
+      mk(9, "Attack Stopped", "2015-03-22 10:07:00")) // orphan -> log only
+    val t = transcriptsOf(texts)
+    val offsets = graft.sources.Transcripts.utcOffsets(spark)
+    val out = Pipeline.applyLifecycle(
+        Pipeline.explodedAll(t, offsets, Set(Pipeline.Attacks)),
+        Pipeline.lifeAggOf(Pipeline.lifeFacts(t, offsets)))
+      .select("attack_id", "attack_ongoing", "attack_end_date")
+      .orderBy("attack_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L && out(0).getInt(1) == 0 &&
+      out(0).getString(2) == "2015-03-22T10:05:00")
+    assert(out(1).getInt(1) == 1 && out(1).getString(2) == null)
+    assert(out(2).getInt(1) == 1 && out(2).getString(2) == null)
+  }
+
   test("health filter drops the configured payload before parse (bbn_f5networks.rb:205-229)") {
     val t = transcriptsOf(Seq("default send string", "<134>x [a=1]"))
     val kept = Pipeline.healthFilter(t, graft.sources.Transcripts.healthStrings(spark))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.CreateArray
+import org.apache.spark.sql.catalyst.plans.logical.Generate
+import graft.operators.Pipeline
+
+/** Plan-shape pins for the parse pipeline: the scan count and the explode
+  * branch count are the two levers behind the r2->r3 4-30x query speedups
+  * (family pruning + narrow lifecycle facts), so regressions must fail a
+  * spec, not wait for a bench run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Number of parquet scans in the physical plan (the transcripts store is
+    * the only parquet input on these paths; dims are local relations).
+    */
+  private def nParquetScans(df: DataFrame): Int =
+    "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+  /** Branch-array sizes of every E1 explode in the optimized plan. */
+  private def explodeBranchCounts(df: DataFrame): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case g: Generate =>
+        g.generator.collectFirst { case c: CreateArray => c.children.size }
+    }.flatten
+
+  test("q15 rollup: ONE transcript scan feeds both rollup sides (no second parse)") {
+    val df = Pipeline.attackRollup(spark, dir)
+    assert(nParquetScans(df) == 1,
+      s"expected a single transcript scan:\n${df.queryExecution.executedPlan.toString.take(3000)}")
+    // window aggregates over attacks+stats branches only
+    assert(explodeBranchCounts(df) == Seq(4 + 3))
+  }
+
+  test("family pruning: single-family consumers render only their own branch structs") {
+    // full records(): 8 routed branches (attacks 4, stats 3, traffic 1);
+    // lifecycle facts add a second explode of 6 start/stop probes
+    assert(explodeBranchCounts(Pipeline.records(spark, dir)).sorted == Seq(6, 8))
+    // stats-only: 3 branches, no lifecycle facts scan
+    val stats = Pipeline.statsRecords(spark, dir)
+    assert(explodeBranchCounts(stats) == Seq(3))
+    assert(nParquetScans(stats) == 1)
+    // traffic-only: 1 branch, one scan
+    val traffic = Pipeline.trafficRecords(spark, dir)
+    assert(explodeBranchCounts(traffic) == Seq(1))
+    assert(nParquetScans(traffic) == 1)
+    // attacks: 4 branches + the 6-probe facts explode, two scans BY DESIGN
+    // (the facts re-scan parses three keys instead of re-rendering the
+    // 50-column structs — Router.route stages instead and re-reads columns)
+    val atk = Pipeline.attacksCorrelated(spark, dir)
+    assert(explodeBranchCounts(atk).sorted == Seq(4, 6))
+    assert(nParquetScans(atk) == 2)
+  }
+
+  test("AQE and its skew-join re-plan are active in the session the pipeline runs under") {
+    // cosineDupPairs' hot-bucket fan-out and the lifecycle join rely on
+    // runtime re-planning; pin the confs so a builder change can't
+    // silently disable them (they are also Spark 4 defaults)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+}

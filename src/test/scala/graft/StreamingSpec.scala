@@ -50,6 +50,44 @@ class StreamingSpec extends SparkSpec {
     assert(byId(9L).getAs[Int]("n_starts") == 0)
   }
 
+  test("TTL-bounded lifecycle state evicts settled attacks once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[LifeEvent]
+    val ttlMs = 3600L * 1000 // 1 hour past an attack's last event
+    val updates = input.toDS().withWatermark("ts", "0 seconds")
+      .groupByKey(_.attack_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        StreamingPipeline.lifecycleFnTtl(ttlMs))
+    val q = updates.writeStream.format("memory").queryName("life_ttl")
+      .outputMode("update").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: attack 1 starts and stops
+    input.addData(
+      LifeEvent(1L, is_stop = false, "2026-01-01T00:00:00", ts("2026-01-01 00:00:00")),
+      LifeEvent(1L, is_stop = true, "2026-01-01T00:05:00", ts("2026-01-01 00:05:00")))
+    q.processAllAvailable()
+    // batch 2: a different attack 3h later advances the watermark far past
+    // attack 1's timeout (00:05 + 1h); batch 3 gives the timeout a batch to fire
+    input.addData(
+      LifeEvent(2L, is_stop = false, "2026-01-01 03:00:00", ts("2026-01-01 03:00:00")))
+    q.processAllAvailable()
+    input.addData(
+      LifeEvent(2L, is_stop = false, "2026-01-01 03:10:00", ts("2026-01-01 03:10:00")))
+    q.processAllAvailable()
+
+    // attack 1 resolved correctly before eviction
+    val byId = spark.table("life_ttl").collect()
+      .groupBy(_.getAs[Long]("attack_id")).view.mapValues(_.last).toMap
+    assert(byId(1L).getAs[Int]("attack_ongoing") == 0)
+    assert(byId(1L).getAs[String]("attack_end_date") == "2026-01-01T00:05:00")
+    // state bounded: only attack 2 survives the TTL horizon
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 1, s"expected 1 live state row after eviction, saw $stateRows")
+  }
+
   test("file-stream parse produces the same routed records as the batch path") {
     val dir = "/root/testdata/sf0.001"
     val src = graft.sources.TranscriptStore.table(spark, dir)
@@ -280,5 +318,30 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("sinkcounts").collect()
     assert(rows.exists(r => r.getAs[String]("record_type") == "attacks" &&
       r.getAs[Long]("n_rows") == 1L))
+  }
+
+  test("exact streaming distinct-conv counts: batch parity and replay idempotence") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-exact-convs").toString
+    val records = graft.operators.Pipeline.records(spark, dir)
+
+    // two disjoint "micro-batches" by conv hash, fed through the foreachBatch fn
+    val b0 = records.filter(abs(hash(col("conv_id"))) % 2 === 0)
+    val b1 = records.filter(abs(hash(col("conv_id"))) % 2 === 1)
+    StreamingPipeline.exactConvPairsBatch(stateDir)(b0, 0L)
+    StreamingPipeline.exactConvPairsBatch(stateDir)(b1, 1L)
+    // sink-side crash replay: batch 1 runs again against the same state dir
+    StreamingPipeline.exactConvPairsBatch(stateDir)(b1, 1L)
+
+    val exact = StreamingPipeline.exactSinkCounts(spark, stateDir)
+    val truth = records
+      .select(window(col("ts"), "1 minute").getField("start").as("window_start"),
+        col("record_type"), col("facility"), col("severity"), col("conv_id"))
+      .groupBy("window_start", "record_type", "facility", "severity")
+      .agg(countDistinct(col("conv_id")).as("n_convs"))
+    assert(exact.count() == truth.count())
+    assert(exact.except(truth).count() == 0 && truth.except(exact).count() == 0)
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(stateDir))
   }
 }
