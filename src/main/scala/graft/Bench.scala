@@ -70,12 +70,41 @@ object Bench {
     spark.stop()
   }
 
+  /** (idle, steal, total) jiffies from /proc/stat's aggregate cpu line. */
+  private def cpuJiffies(): (Long, Long, Long) = {
+    val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+      .next().trim.split("\\s+").drop(1).map(_.toLong)
+    // user nice system idle iowait irq softirq steal guest guest_nice
+    (cols(3), if (cols.length > 7) cols(7) else 0L, cols.sum)
+  }
+
+  /** Hypervisor steal fraction of non-idle time across an interval — the
+    * direct measurement of neighbor interference on this shared VM. A
+    * 16-core route at 2x its best-window time with steal% to match is
+    * host weather on the record; without this number it is only a claim.
+    */
+  private def stealFrac(before: (Long, Long, Long), after: (Long, Long, Long)): Double = {
+    val busy = (after._3 - before._3) - (after._1 - before._1)
+    if (busy <= 0) 0.0 else (after._2 - before._2).toDouble / busy
+  }
+
   /** Spawn a fresh JVM running routeChild; returns the timed seconds.
     * `n` routes, min taken: route 1 is cold (page cache + JIT), so n=2
     * yields one warm sample and n=3 two — the headline throughput child
     * uses 3 so a single slow warm window can't set the record.
     */
-  private def spawnRoute(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double = {
+  private def spawnRoute(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double =
+    spawnRouteSteal(cpus, sfDir, rep, n)._1
+
+  /** spawnRoute + the steal fraction measured across the child's lifetime. */
+  private def spawnRouteSteal(cpus: Int, sfDir: String, rep: Int,
+                              n: Int = 2): (Double, Double) = {
+    val j0 = cpuJiffies()
+    val sec = spawnRouteInner(cpus, sfDir, rep, n)
+    (sec, stealFrac(j0, cpuJiffies()))
+  }
+
+  private def spawnRouteInner(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double = {
     val java = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -86,7 +115,18 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = (Seq(java) ++ addOpens ++ Seq(
+    // taskset ENFORCES the core budget: local[N] only bounds Spark task
+    // threads — GC/JIT/netty/compression threads size themselves off the
+    // full machine (a "local[4]" child measured 13 busy cores), which
+    // silently hands the low level extra compute and corrupts the N-vs-4N
+    // ratio. Under an affinity mask the JVM's availableProcessors (and so
+    // its GC/compiler thread pools) match the nominal level, the way a
+    // real N-core executor container would.
+    val pin =
+      if (Files.exists(Paths.get("/usr/bin/taskset")))
+        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+      else Seq.empty
+    val cmd = (pin ++ Seq(java) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--route", cpus.toString, sfDir, rep.toString, n.toString)).toArray
@@ -183,7 +223,8 @@ object Bench {
     // (scale_runs_*) so the distribution — not just the headline — is on
     // the record.
     case class Scaling(tLo: Double, tHi: Double, eff: Double,
-                       runsLo: Seq[Double], runsHi: Seq[Double], turns: Long)
+                       runsLo: Seq[Double], runsHi: Seq[Double], turns: Long,
+                       stealLo: Seq[Double], stealHi: Seq[Double])
     val scaling: Option[Scaling] = if (doScaling) {
       val sSpark = build(cpus)
       val scaleTurns = sources.TranscriptStore.table(sSpark, sfDir, scaleRep).count()
@@ -194,20 +235,24 @@ object Bench {
       val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
       var lo = Vector.empty[Double]
       var hi = Vector.empty[Double]
+      var stLo = Vector.empty[Double]
+      var stHi = Vector.empty[Double]
       def eff: Double =
         if (lo.isEmpty || hi.isEmpty) 0.0
         else ((scaleTurns / hi.min) / (scaleTurns / lo.min)) / (nHi.toDouble / nLo)
       var round = 0
       while (round < maxRounds) {
-        val l = spawnRoute(nLo, sfDir, scaleRep)
-        val h = spawnRoute(nHi, sfDir, scaleRep)
-        if (l > 0) lo :+= l
-        if (h > 0) hi :+= h
+        val (l, sl) = spawnRouteSteal(nLo, sfDir, scaleRep)
+        val (h, sh) = spawnRouteSteal(nHi, sfDir, scaleRep)
+        if (l > 0) { lo :+= l; stLo :+= sl }
+        if (h > 0) { hi :+= h; stHi :+= sh }
         round += 1
-        System.err.println(f"[bench] scaling round $round: eff=$eff%.3f lo=$lo hi=$hi")
+        System.err.println(f"[bench] scaling round $round: eff=$eff%.3f lo=$lo hi=$hi " +
+          f"steal_lo=${stLo.map(s => f"$s%.2f")} steal_hi=${stHi.map(s => f"$s%.2f")}")
       }
       if (lo.isEmpty || hi.isEmpty) None
-      else Some(Scaling(scaleTurns / lo.min, scaleTurns / hi.min, eff, lo, hi, scaleTurns))
+      else Some(Scaling(scaleTurns / lo.min, scaleTurns / hi.min, eff, lo, hi, scaleTurns,
+        stLo, stHi))
     } else None
 
     val total = results.map(_._2).sum
@@ -216,7 +261,7 @@ object Bench {
     val qsExec = resultsExec.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val scalingJson = scaling.map { s =>
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      f""","scale_cores_n":$nLo,"scale_cores_4n":$nHi,"scale_turns":${s.turns},"throughput_n":${s.tLo}%.0f,"throughput_4n":${s.tHi}%.0f,"scale_runs_n_sec":${arr(s.runsLo)},"scale_runs_4n_sec":${arr(s.runsHi)},"scaling_efficiency":${s.eff}%.3f"""
+      f""","scale_cores_n":$nLo,"scale_cores_4n":$nHi,"scale_turns":${s.turns},"throughput_n":${s.tLo}%.0f,"throughput_4n":${s.tHi}%.0f,"scale_runs_n_sec":${arr(s.runsLo)},"scale_runs_4n_sec":${arr(s.runsHi)},"scale_steal_n":${arr(s.stealLo)},"scale_steal_4n":${arr(s.stealHi)},"scaling_efficiency":${s.eff}%.3f"""
     }.getOrElse("")
     val flagsJson = execFlags.map(k => s""""$k"""").mkString("[", ",", "]")
     val jsonLine =
@@ -239,31 +284,54 @@ object Bench {
     md ++= "## End-to-end parse->route throughput (turns/sec)\n\n"
     md ++= "| parallelism | turns | seconds | turns/sec |\n|---|---|---|---|\n"
     md ++= f"| local[$cpus] (bench run) | $nTurns | $secMain%.2f | $thruMain%.0f |\n"
+    // Sections persist as sidecar fragments so a PARTIAL rerun (headline
+    // only, or queries only) cannot clobber the full record of a prior run:
+    // the md always shows the latest COMPLETE measurement of each section.
+    val scalingSection = Paths.get("/root/repo/BENCH/scaling_section.md")
     scaling.foreach { s =>
-      md ++= f"| local[$nLo] (N)   | ${s.turns} | ${s.turns / s.tLo}%.2f | ${s.tLo}%.0f |\n"
-      md ++= f"| local[$nHi] (4N) | ${s.turns} | ${s.turns / s.tHi}%.2f | ${s.tHi}%.0f |\n"
-      md ++= f"\nScaling efficiency local[$nLo]->local[$nHi] (sandbox stand-in for N->4N executors): **${s.eff}%.3f** (target >= 0.8).\n"
-      md ++= f"Per-run route seconds (all runs on the record): local[$nLo] = ${s.runsLo.map(x => f"$x%.1f").mkString(", ")}; "
-      md ++= f"local[$nHi] = ${s.runsHi.map(x => f"$x%.1f").mkString(", ")}.\n"
-      md ++= f"All ${s.runsLo.size} interleaved rounds ran to completion (no early exit on a lucky\n"
-      md ++= "sample); headline = min per level with the full per-run distribution above.\n"
-      md ++= "Levels sit below host saturation: the virtualized 32-vCPU host itself yields only ~3.4x\n"
-      md ++= "going 8->32 on a pure CPU burn (0.86 ceiling), so N=4 vs 4N=16 isolates the ENGINE's\n"
-      md ++= "scaling from hypervisor saturation. Interleaved lo/hi rounds bound the host-weather\n"
-      md ++= "drift (repeated identical runs swing +-25% on this shared VM); the per-run list above\n"
-      md ++= "is the distribution behind the headline min-based ratio.\n"
-      md ++= "\nMeasurement context (single shared VM; the real criterion is scale-OUT across nodes):\n"
-      md ++= "- /proc/stat steal under load: 0% at 4 busy cores, ~7% of busy time at 16, ~8.5% at 32.\n"
-      md ++= "- The plan itself is narrow map-only parse->explode->write plus one small exchange\n"
-      md ++= "  (lifecycle facts); per-route serial floor ~5s of driver commit/planning.\n"
+      val sm = new StringBuilder
+      sm ++= f"| local[$nLo] (N)   | ${s.turns} | ${s.turns / s.tLo}%.2f | ${s.tLo}%.0f |\n"
+      sm ++= f"| local[$nHi] (4N) | ${s.turns} | ${s.turns / s.tHi}%.2f | ${s.tHi}%.0f |\n"
+      sm ++= f"\nScaling efficiency local[$nLo]->local[$nHi] (sandbox stand-in for N->4N executors): **${s.eff}%.3f** (target >= 0.8).\n"
+      sm ++= f"Per-run route seconds (all runs on the record): local[$nLo] = ${s.runsLo.map(x => f"$x%.1f").mkString(", ")}; "
+      sm ++= f"local[$nHi] = ${s.runsHi.map(x => f"$x%.1f").mkString(", ")}.\n"
+      sm ++= f"Measured hypervisor steal (fraction of busy jiffies, per run): local[$nLo] = "
+      sm ++= f"${s.stealLo.map(x => f"$x%.2f").mkString(", ")}; local[$nHi] = ${s.stealHi.map(x => f"$x%.2f").mkString(", ")}.\n"
+      sm ++= f"All ${s.runsLo.size} interleaved rounds ran to completion (no early exit on a lucky\n"
+      sm ++= "sample); headline = min per level with the full per-run distribution above.\n"
+      sm ++= "Each child JVM is PINNED (taskset) to its nominal core count: local[N] only\n"
+      sm ++= "bounds Spark task threads — GC/JIT/netty pools size themselves off the full\n"
+      sm ++= "machine (an unpinned \"local[4]\" child measured 13 busy cores), which hands\n"
+      sm ++= "the low level hidden compute and corrupts the N-vs-4N ratio; under an\n"
+      sm ++= "affinity mask availableProcessors (and so every pool) matches the level,\n"
+      sm ++= "the way a real N-core executor container would.\n"
+      sm ++= "Levels sit below host saturation: the virtualized 32-vCPU host itself yields only ~3.4x\n"
+      sm ++= "going 8->32 on a pure CPU burn (0.86 ceiling), so N=4 vs 4N=16 isolates the ENGINE's\n"
+      sm ++= "scaling from hypervisor saturation; the per-run steal fractions above put\n"
+      sm ++= "neighbor interference on the record run by run.\n"
+      sm ++= "\nMeasurement context (single shared VM; the real criterion is scale-OUT across nodes):\n"
+      sm ++= "- The plan itself is narrow map-only parse->explode->write plus one small exchange\n"
+      sm ++= "  (lifecycle facts); per-route serial floor ~5s of driver commit/planning.\n"
+      Files.writeString(scalingSection, sm.toString)
     }
-    md ++= "\n## Per-query seconds (single shared session; count = count()-forced, Catalyst may\n"
-    md ++= "prune output projections; exec = full materialization through the noop sink)\n\n"
-    md ++= "| query | count sec | exec sec |\n|---|---|---|\n"
-    val execMap = resultsExec.toMap
-    results.foreach { case (k, v) =>
-      md ++= f"| $k | $v%.3f | ${execMap.getOrElse(k, -1.0)}%.3f |\n"
+    if (Files.exists(scalingSection)) md ++= Files.readString(scalingSection)
+    val queriesSection = Paths.get("/root/repo/BENCH/queries_section.md")
+    if (!skipQueries) {
+      val qm = new StringBuilder
+      qm ++= "\n## Per-query seconds (fresh session per pass; count = count()-forced, Catalyst may\n"
+      qm ++= "prune output projections; exec = full materialization through the noop sink;\n"
+      qm ++= "cache cleared between queries)\n\n"
+      qm ++= "| query | count sec | exec sec |\n|---|---|---|\n"
+      val execMap = resultsExec.toMap
+      results.foreach { case (k, v) =>
+        qm ++= f"| $k | $v%.3f | ${execMap.getOrElse(k, -1.0)}%.3f |\n"
+      }
+      qm ++= f"\nTotals: count ${total}%.1f s, exec ${totalExec}%.1f s over ${results.size} queries. "
+      qm ++= (if (execFlags.isEmpty) "No query exceeds 5x its count time on full materialization.\n"
+              else s"exec>5x flags: ${execFlags.mkString(", ")}.\n")
+      Files.writeString(queriesSection, qm.toString)
     }
+    if (Files.exists(queriesSection)) md ++= Files.readString(queriesSection)
     md ++= "\nReference baseline: the reference plugin publishes no numbers (BASELINE.md); "
     md ++= "its architecture is single-threaded-per-socket Ruby with a blocking ES RPC per stop event.\n"
     Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md.toString)
