@@ -681,6 +681,36 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id LEFT JOIN m ON m.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
 
+      // cross-source overlap matrix: per-source DISTINCT shingle sets,
+      // pairwise Jaccard as one double division of exact longs
+      "q46_source_overlap" -> s"""
+WITH base AS (SELECT source, $shinglesExpr AS sh FROM documents),
+idx AS (SELECT DISTINCT source, unnest(sh) AS shingle FROM base),
+sz AS (SELECT source, count(*) AS n FROM idx GROUP BY 1),
+p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM idx a JOIN idx b USING (shingle) WHERE a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared, za.n AS n_a, zb.n AS n_b,
+  round(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 6) AS jaccard
+FROM p JOIN sz za ON source_a = za.source JOIN sz zb ON source_b = zb.source
+ORDER BY source_a, source_b""",
+
+      // PMI-ranked collocations, log dropped (monotone) so every op is an
+      // exactly-rounded IEEE multiply/divide — same rational-score trick
+      // as TF-IDF/BM25
+      "q47_collocations" -> """
+WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS tok FROM tk),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM uni),
+bg AS (SELECT unnest(list_transform(range(1, len(t)),
+         i -> struct_pack(t1 := t[i], t2 := t[i + 1]))) AS s FROM tk),
+bc AS (SELECT s.t1 AS t1, s.t2 AS t2, count(*) AS n_pair FROM bg
+       GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT t1, t2, n_pair, u1.c AS n_t1, u2.c AS n_t2,
+  round((CAST(n_pair AS DOUBLE) * n_total) / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS score
+FROM bc JOIN uc u1 ON bc.t1 = u1.tok JOIN uc u2 ON bc.t2 = u2.tok CROSS JOIN n
+ORDER BY score DESC, t1, t2 LIMIT 20""",
+
       "q27_ann_brute" -> s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (

@@ -196,7 +196,15 @@ object SparkEntry {
     // pinned >=0.9 in SimilaritySpec
     "q45_ivf_ann" -> ((s, dir) =>
       operators.SimilarityOps.ivfFrozenTopK(emb(s, dir), operators.IvfModel.centroids)
-        .orderBy("query_id", "rank")))
+        .orderBy("query_id", "rank")),
+    // cross-source shingle-overlap matrix (which ingestion sources
+    // duplicate each other — curation before per-doc dedup)
+    "q46_source_overlap" -> ((s, dir) =>
+      operators.DedupOps.sourceOverlap(docs(s, dir)).orderBy("source_a", "source_b")),
+    // PMI-ranked bigram collocations (rational score, bit-exact)
+    "q47_collocations" -> ((s, dir) =>
+      operators.TextOps.collocations(docs(s, dir))
+        .orderBy(col("score").desc, col("t1"), col("t2"))))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

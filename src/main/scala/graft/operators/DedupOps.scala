@@ -173,6 +173,38 @@ object DedupOps {
       .withColumn("is_contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Cross-source overlap matrix: per-source distinct shingle sets and
+    * their pairwise Jaccard — the corpus-curation report that tells you
+    * which ingestion sources duplicate each other (a crawl mirrored under
+    * two names, a dataset re-released inside another) BEFORE per-document
+    * dedup spends compute on the symptom.
+    *
+    * Scale shape: the per-source DISTINCT index aggregates shingles down
+    * to one row per (source, shingle) — the only pass over full text. The
+    * self-join fan-out per shingle is bounded by the number of SOURCES
+    * containing it (sources are few — shards/crawls — where documents are
+    * billions), so the pair table is at most S^2 per shingle and the
+    * result is S^2 rows. Size dims broadcast. The index persists for its
+    * three consumers (both join sides + sizes).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val idx = withShingles(docs)
+      .select(col("source"), explode_outer(col("_codes")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.groupBy("source").agg(count("*").as("n"))
+    idx.as("a").join(idx.as("b"), "shingle")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count("*").as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
+  }
+
   /** MinHash parameter table: K independent affine hashes (a_i, b_i) mod P,
     * derived from a fixed formula so the oracle regenerates them.
     */

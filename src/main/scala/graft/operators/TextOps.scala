@@ -98,6 +98,48 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** PMI-ranked bigram collocations (phrase mining for tokenizer/vocab
+    * curation): score(t1,t2) = P(t1 t2) / (P(t1) P(t2)) without the log —
+    * log is monotone, so the RANKING is PMI's, and dropping it keeps every
+    * op an exactly-rounded IEEE multiply/divide that DuckDB reproduces
+    * bit-for-bit (the same rational-score trick as TF-IDF/BM25; ln()
+    * differs across libms). score = (n_pair * N) / (n_t1 * n_t2) with one
+    * promotion to double per factor, one division.
+    *
+    * Scale shape: bigrams explode off a materialized token array (same
+    * CollapseProject trick as shingles); unigram and bigram counts are
+    * two-level hash aggregates bounded by |vocab| / |vocab|^2 per task;
+    * the scalar corpus token count and the unigram dim broadcast; final
+    * top-k plans as TakeOrderedAndProject. Nothing shuffles at corpus
+    * size.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    val withToks = docs.withColumn("_toks", tokens(col("text")))
+    val uni = withToks.select(explode(col("_toks")).as("tok"))
+      .groupBy("tok").agg(count("*").as("c"))
+    val bigrams = withToks
+      .withColumn("_bg",
+        when(size(col("_toks")) < 2, array().cast("array<struct<t1:string,t2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("_toks")) - 1), i =>
+            struct(element_at(col("_toks"), i).as("t1"),
+              element_at(col("_toks"), i + 1).as("t2")))))
+      .select(explode_outer(col("_bg")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("bg.t1"), col("bg.t2"))
+      .groupBy("t1", "t2").agg(count("*").as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nTok = uni.agg(sum("c").as("n_total"))
+    bigrams
+      .join(broadcast(uni.select(col("tok").as("t1"), col("c").as("n_t1"))), "t1")
+      .join(broadcast(uni.select(col("tok").as("t2"), col("c").as("n_t2"))), "t2")
+      .crossJoin(broadcast(nTok))
+      .select(col("t1"), col("t2"), col("n_pair"), col("n_t1"), col("n_t2"),
+        round((col("n_pair").cast("double") * col("n_total")) /
+          (col("n_t1").cast("double") * col("n_t2")), 6).as("score"))
+      .orderBy(col("score").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   /** Fraction of repeated word-2-grams within a document (0 = all distinct):
     * the standard within-doc repetition signal from published web-corpus
     * quality rules (Gopher/RefinedWeb-style). Engine-portable: string

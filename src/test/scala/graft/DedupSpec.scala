@@ -11,6 +11,28 @@ class DedupSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("sourceOverlap: identical sources score jaccard 1, disjoint sources emit no pair") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "mirror_a"),
+      (1L, "alpha beta gamma delta epsilon", "mirror_b"), // byte-identical corpus
+      (2L, "zz yy xx ww vv uu", "loner"),                 // disjoint shingles
+      (3L, "alpha beta gamma QQ RR SS", "partial"))       // shares 1 of its shingles with mirrors
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // mirrors: identical shingle sets -> jaccard exactly 1.0
+    val m = out(("mirror_a", "mirror_b"))
+    assert(m.getAs[Long]("n_shared") == m.getAs[Long]("n_a") &&
+      m.getAs[Double]("jaccard") == 1.0)
+    // loner shares nothing: no pair row with it at all
+    assert(!out.keys.exists(k => k._1 == "loner" || k._2 == "loner"))
+    // partial overlaps the mirrors on exactly the "alpha beta gamma" shingle
+    assert(out(("mirror_a", "partial")).getAs[Long]("n_shared") == 1L)
+    // size dims broadcast; the only wide exchange keys on (source, shingle)
+    val plan = DedupOps.sourceOverlap(docs).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("hot-shingle cap bounds candidate fan-out; discriminative pairs survive") {
     // 40 docs share one stop 3-gram ("the same stop"); two docs also share
     // a distinctive trigram. Tail tokens must be distinct in the signature

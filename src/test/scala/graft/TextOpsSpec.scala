@@ -102,6 +102,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getLong(0) == 4L)
   }
 
+  test("collocations rank sticky bigrams first and never cross document boundaries") {
+    // "new york": 5 adjacent occurrences, and new/york appear NOWHERE else
+    // -> maximal score. The other glue words (is/big/and/busy) also appear
+    // in the split docs, doubling their unigram counts and halving their
+    // pair scores. Per-doc unique fillers keep noise bigrams under
+    // minCount. Boundary check: even docs END with "data", odd docs START
+    // with "base" — a (data, base) pair can only arise by erroneously
+    // concatenating documents.
+    val glue = (1 to 5).map(i => (i.toLong, "new york is big and busy"))
+    val split = (6 to 15).map(i =>
+      (i.toLong, if (i % 2 == 0) s"is big u${i}a data" else s"base and busy u${i}c"))
+    val docs = (glue ++ split).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, k = 30, minCount = 5).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("new", "york")))
+    assert(!pairs.contains(("data", "base")) && !pairs.contains(("base", "data")),
+      "bigram crossed a document boundary")
+    // the exclusive pair outranks pairs of tokens that also occur apart
+    assert(out.head.getString(0) == "new" && out.head.getString(1) == "york",
+      s"expected (new, york) first, got ${out.take(3).mkString("; ")}")
+  }
+
   test("tfidf top-k physical plan bounds each doc partition before the rank window") {
     val docs = (1L to 40L).map(i => (i, s"w$i common shared")).toDF("doc_id", "text")
     val plan = TextOps.tfidfTopK(docs).queryExecution.executedPlan.toString()
