@@ -361,6 +361,16 @@ SELECT a.attack_id, a.attack_name, a.attack_category,
 FROM atk2 a LEFT JOIN ag USING (attack_id)
 ORDER BY attack_id, attack_name""",
 
+    // SFT-sample assembly: ordered string_agg reproduces array_sort +
+    // array_join byte-for-byte (ASCII payloads: strlen == char length)
+    "q48_render_convs" -> s"""WITH $tCte
+SELECT conv_id,
+  CAST(count(*) AS INT) AS n_turns,
+  CAST(coalesce(SUM(CASE WHEN role = 'assistant' THEN strlen(text) END), 0) AS BIGINT)
+    AS n_assistant_chars,
+  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+FROM t GROUP BY conv_id ORDER BY conv_id""",
+
     "q13_conv_stats" -> s"""WITH $tCte
 SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
        min(ts2) AS first_ts, max(ts2) AS last_ts

@@ -204,7 +204,15 @@ object SparkEntry {
     // PMI-ranked bigram collocations (rational score, bit-exact)
     "q47_collocations" -> ((s, dir) =>
       operators.TextOps.collocations(docs(s, dir))
-        .orderBy(col("score").desc, col("t1"), col("t2"))))
+        .orderBy(col("score").desc, col("t1"), col("t2"))),
+    // SFT-sample assembly: conversation -> ordered training document with
+    // the assistant-span character count for loss masking
+    "q48_render_convs" -> ((s, dir) => {
+      Pipeline.configure(s)
+      operators.ConversationOps
+        .renderConversations(graft.sources.TranscriptStore.table(s, dir))
+        .orderBy("conv_id")
+    }))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -54,6 +54,37 @@ object ConversationOps {
         concat(col("conv_id"), lit("#"), col("session_idx")).as("session_id"))
   }
 
+  /** SFT-sample assembly: each conversation rendered as ONE training
+    * document — turns sorted by turn_idx, formatted `role: text`, joined
+    * with newlines — plus the loss-masking ingredient (assistant-authored
+    * character count) a supervised-fine-tuning loader needs to mask
+    * non-assistant spans. This is the step that turns the routed/parsed
+    * transcript table into model-ready samples.
+    *
+    * Scale shape: one shuffle keyed on conv_id; collect_list buffers one
+    * CONVERSATION per group (bounded by the longest conversation, the same
+    * ceiling every per-conv window op here documents — a pathological
+    * million-turn conv would first be split by sessionize). array_sort on
+    * the (turn_idx-first) struct gives stable turn ordering without a
+    * sort-within-partitions pass; the fold for assistant chars is exact
+    * integer arithmetic in any order.
+    */
+  def renderConversations(transcripts: DataFrame): DataFrame =
+    transcripts
+      .groupBy("conv_id")
+      .agg(array_sort(collect_list(
+        struct(col("turn_idx"), col("role"), col("text")))).as("_turns"))
+      .select(
+        col("conv_id"),
+        size(col("_turns")).as("n_turns"),
+        aggregate(
+          filter(col("_turns"), t => t.getField("role") === "assistant"),
+          lit(0L), (acc, t) => acc + length(t.getField("text"))).as("n_assistant_chars"),
+        array_join(
+          transform(col("_turns"),
+            t => concat(t.getField("role"), lit(": "), t.getField("text"))),
+          "\n").as("rendered"))
+
   /** Per-conversation turn sequencing (stable (conv_id, turn_idx) order per
     * the north rule): inter-turn gap in microseconds via a window lag.
     * Windows cannot be salted (they need the whole partition ordered), so

@@ -12,6 +12,27 @@ class ConversationOpsSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("renderConversations orders by turn_idx regardless of input order and counts assistant chars") {
+    // deliberately shuffled input order; two conversations interleaved
+    val t = Seq(
+      ("c1", 2, "assistant", "fine thanks", "none", Timestamp.valueOf("2026-01-01 00:02:00")),
+      ("c2", 1, "user", "ping", "none", Timestamp.valueOf("2026-01-01 00:00:30")),
+      ("c1", 1, "user", "hi how are you", "none", Timestamp.valueOf("2026-01-01 00:01:00")),
+      ("c1", 3, "user", "bye", "none", Timestamp.valueOf("2026-01-01 00:03:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = ConversationOps.renderConversations(t)
+      .orderBy("conv_id").collect()
+    assert(out.length == 2)
+    val c1 = out(0)
+    assert(c1.getAs[String]("rendered") ==
+      "user: hi how are you\nassistant: fine thanks\nuser: bye")
+    assert(c1.getAs[Int]("n_turns") == 3)
+    assert(c1.getAs[Long]("n_assistant_chars") == "fine thanks".length.toLong)
+    val c2 = out(1)
+    assert(c2.getAs[String]("rendered") == "user: ping")
+    assert(c2.getAs[Long]("n_assistant_chars") == 0L)
+  }
+
   test("sessionize splits on gaps strictly greater than gapSec") {
     val rows = Seq(
       // conv a: 0s, +3600s (exactly the gap -> SAME session), +3601s after
