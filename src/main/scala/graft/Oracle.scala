@@ -691,6 +691,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id LEFT JOIN m ON m.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
 
+      // long-doc chunking: stride 48 = max 64 - overlap 16 (mirrors
+      // SampleOps.chunkDocuments defaults); integer ceiling both engines
+      "q49_chunk_docs" -> """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (SELECT doc_id, t,
+        CASE WHEN len(t) <= 64 THEN 1 ELSE (len(t) - 16 + 47) // 48 END AS n_chunks
+      FROM tk),
+e AS (SELECT doc_id, t, n_chunks, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_chunks AS INT) AS n_chunks,
+  array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+  CAST(len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT) AS n_chunk_tokens
+FROM e ORDER BY doc_id, chunk_idx""",
+
       // cross-source overlap matrix: per-source DISTINCT shingle sets,
       // pairwise Jaccard as one double division of exact longs
       "q46_source_overlap" -> s"""

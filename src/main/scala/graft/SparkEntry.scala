@@ -212,7 +212,11 @@ object SparkEntry {
       operators.ConversationOps
         .renderConversations(graft.sources.TranscriptStore.table(s, dir))
         .orderBy("conv_id")
-    }))
+    }),
+    // long-doc chunking: max-64-token windows, 16-token overlap (the
+    // splitting complement of q42's packing)
+    "q49_chunk_docs" -> ((s, dir) =>
+      operators.SampleOps.chunkDocuments(docs(s, dir)).orderBy("doc_id", "chunk_idx")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -66,6 +66,35 @@ object SampleOps {
     * single shard, same note as the per-conversation windows; a shard-less
     * corpus would first be bucketed into synthetic shards by hash.
     */
+  /** Long-document chunking for pretraining loaders: split each document
+    * into windows of at most `maxTokens` tokens with `overlap` tokens of
+    * context carried between consecutive chunks (stride = max - overlap),
+    * the standard complement of packSequences (packing joins SHORT docs,
+    * chunking splits LONG ones; a loader applies both). Pure per-row
+    * compute: one explode bounded by ceil(n/stride) per doc, no shuffle —
+    * at 100 TB this is a map-only pass. Chunk count uses integer ceiling
+    * arithmetic ((n - overlap + stride - 1) div stride) so the DuckDB
+    * oracle reproduces the split exactly; a document at or under the
+    * window emits itself as its only chunk.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens)
+    val stride = maxTokens - overlap
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(expr(s"(size(split(text, ' ')) - $overlap + ${stride - 1}) div $stride"))
+    docs
+      .select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("text"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_chunks").cast("int").as("n_chunks"),
+        array_join(slice(TextOps.tokens(col("text")),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)), " ").as("chunk_text"))
+      .withColumn("n_chunk_tokens", size(TextOps.tokens(col("chunk_text"))))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")

@@ -57,6 +57,29 @@ class SampleSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("chunking: overlap-stitched windows reconstruct the document; short docs emit one chunk") {
+    val words = (1 to 150).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),      // 150 tokens -> 3 chunks at (64, 16)
+      (2L, "just a short document"))  // under the window -> itself
+      .toDF("doc_id", "text")
+    val out = SampleOps.chunkDocuments(docs, maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    assert(c1.length == 3 && c1.forall(_.getAs[Int]("n_chunks") == 3))
+    // every chunk respects the window; consecutive chunks share exactly
+    // `overlap` tokens, so dropping the first 16 of each later chunk and
+    // concatenating reconstructs the original token stream
+    assert(c1.forall(_.getAs[Int]("n_chunk_tokens") <= 64))
+    val stitched = c1.zipWithIndex.flatMap { case (r, i) =>
+      val toks = r.getAs[String]("chunk_text").split(" ")
+      if (i == 0) toks else toks.drop(16)
+    }
+    assert(stitched.toSeq == words)
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "just a short document")
+  }
+
   test("vocab top-k counts globally, breaks ties by token, plans as TakeOrdered") {
     val docs = Seq(
       (1L, "b b b a a c"),
