@@ -126,9 +126,16 @@ object Bench {
       if (Files.exists(Paths.get("/usr/bin/taskset")))
         Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
       else Seq.empty
+    // under spark-submit the app jar rides a MutableURLClassLoader, NOT
+    // java.class.path — append our own code source so the child finds
+    // graft.Bench either way (harmless duplicate under sbt run)
+    val selfJar = Option(Bench.getClass.getProtectionDomain.getCodeSource)
+      .map(_.getLocation.getPath).filter(_.nonEmpty).toSeq
+    val cp = (System.getProperty("java.class.path") +: selfJar)
+      .mkString(_root_.java.io.File.pathSeparator)
     val cmd = (pin ++ Seq(java) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", System.getProperty("java.class.path"),
+      "-cp", cp,
       "graft.Bench", "--route", cpus.toString, sfDir, rep.toString, n.toString)).toArray
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
