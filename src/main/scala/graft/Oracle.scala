@@ -452,6 +452,26 @@ FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
       s"SELECT doc_id, $bnd AS band, $parts AS bucket FROM sigs"
     }.mkString("\n  UNION ALL ")
 
+    // shared LSH-candidate -> connected-component closure (q32, q50)
+    val clusterCte = s"""base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sigs AS (SELECT doc_id,
+    $minhashCols
+  FROM base),
+bands AS (
+  $bandRows),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
     Map(
       "q20_dedup_exact" -> """
 SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper_doc_id,
@@ -524,24 +544,19 @@ ORDER BY doc_a, doc_b""",
       // doc_id per doc via a recursive closure (tractable at oracle scale;
       // the engine side iterates min-label propagation to the same fixpoint)
       "q32_dup_clusters" -> s"""
-WITH RECURSIVE base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
-sigs AS (SELECT doc_id,
-    $minhashCols
-  FROM base),
-bands AS (
-  $bandRows),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM cand
-  UNION ALL SELECT doc_b, doc_a FROM cand),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""",
+WITH RECURSIVE $clusterCte
+SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+
+      // the end of the dedup story: materialize the CLEAN corpus — one
+      // keeper (min doc_id) per near-dup cluster, with its cluster size
+      "q50_dedup_corpus" -> s"""
+WITH RECURSIVE $clusterCte,
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+SELECT d.doc_id, d.lang, d.source, sz.cluster_size
+FROM documents d
+JOIN cl ON d.doc_id = cl.doc_id AND cl.cluster_id = d.doc_id
+JOIN sz ON sz.cluster_id = d.doc_id
+ORDER BY d.doc_id""",
 
       "q33_sample_stratified" -> """
 SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS sample_bucket

@@ -216,7 +216,11 @@ object SparkEntry {
     // long-doc chunking: max-64-token windows, 16-token overlap (the
     // splitting complement of q42's packing)
     "q49_chunk_docs" -> ((s, dir) =>
-      operators.SampleOps.chunkDocuments(docs(s, dir)).orderBy("doc_id", "chunk_idx")))
+      operators.SampleOps.chunkDocuments(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
+    // dedup materialized: the clean corpus, one keeper per near-dup
+    // cluster with its cluster size (q32's resolution put to work)
+    "q50_dedup_corpus" -> ((s, dir) =>
+      operators.DedupOps.dedupedCorpus(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

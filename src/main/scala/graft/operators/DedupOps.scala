@@ -173,6 +173,28 @@ object DedupOps {
       .withColumn("is_contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** The end of the dedup story: materialize the CLEAN corpus. One keeper
+    * per near-dup cluster — the minimum doc_id, the same deterministic
+    * keep-rule as exactDups — annotated with its cluster size so downstream
+    * mixing can up/down-weight formerly-duplicated content. Singletons keep
+    * themselves (cluster_size 1).
+    *
+    * Scale shape: dupClusters' label table is (doc_id, cluster_id) longs;
+    * the keeper filter is a narrow map, cluster sizes are one narrow agg,
+    * and the final semi-join back onto the corpus co-partitions on doc_id —
+    * one exchange of ids, never of text.
+    */
+  def dedupedCorpus(docs: DataFrame): DataFrame = {
+    val clusters = dupClusters(docs)
+    val sizes = clusters.groupBy("cluster_id").agg(count("*").as("cluster_size"))
+    val keepers = clusters.filter(col("cluster_id") === col("doc_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_size"))
+    docs.select("doc_id", "lang", "source")
+      .join(keepers, Seq("doc_id"))
+      .select("doc_id", "lang", "source", "cluster_size")
+  }
+
   /** Cross-source overlap matrix: per-source distinct shingle sets and
     * their pairwise Jaccard — the corpus-curation report that tells you
     * which ingestion sources duplicate each other (a crawl mirrored under

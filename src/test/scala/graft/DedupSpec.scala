@@ -11,6 +11,20 @@ class DedupSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("dedupedCorpus keeps exactly the min-id doc per cluster; sizes partition the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val out = DedupOps.dedupedCorpus(docs)
+    val clusters = DedupOps.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = out.collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster_size")).toMap
+    // every kept doc is its own cluster's minimum
+    kept.keys.foreach(d => assert(clusters(d) == d, s"kept $d is not its cluster min"))
+    // cluster sizes partition the corpus: they sum to the doc count
+    assert(kept.values.sum == docs.count())
+    // every removed doc's cluster keeper IS kept
+    clusters.foreach { case (d, c) => assert(kept.contains(c), s"cluster $c has no keeper") }
+  }
+
   test("sourceOverlap: identical sources score jaccard 1, disjoint sources emit no pair") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon", "mirror_a"),
