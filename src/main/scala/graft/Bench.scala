@@ -9,18 +9,36 @@ import org.apache.spark.sql.SparkSession
   * sandbox stand-in for the north rule's N-vs-4N-executor criterion — and
   * reports the scaling efficiency.
   *
-  * Each scaling level runs in a FRESH child JVM (two routes, min taken):
-  * long-lived JVMs accumulate JIT/GC state that swings repeat timings
-  * several-fold, and the virtualized host saturates past ~16 busy cores,
-  * so sharing one JVM or benching at full saturation produces junk.
+  * Every measured pass runs in a FRESH child JVM PINNED (taskset) to its
+  * nominal core count, with the hypervisor steal fraction measured per
+  * query / per route and put on the record: long-lived JVMs accumulate
+  * JIT/GC state that swings repeat timings several-fold, unpinned JVMs
+  * size GC/JIT/netty pools off the full machine, and this virtualized
+  * host's noisy neighbors shift minute-to-minute — a slow sample without
+  * a steal number next to it is a claim, not a measurement.
   *
-  * Prints exactly ONE JSON line on stdout and refreshes BENCH/BASELINE.md.
+  * Prints exactly ONE COMPACT JSON line on stdout (totals, flags,
+  * throughput, scaling). The per-query maps live in BENCH/last_run.json:
+  * the driver's stdout capture window demonstrably truncates a line
+  * carrying two 46-entry maps (BENCH_r01..r03 all record `parsed: null`
+  * with the tail starting mid-JSON), so the headline stays small enough
+  * to always parse and the detail rides the sidecar file.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32),
   * SPARK_GRAFT_REP (amplification, default 32), SPARK_GRAFT_SCALING=0 to
-  * skip the two-level run.
+  * skip the two-level run, SPARK_GRAFT_QUERIES=0 to skip the query passes,
+  * SPARK_GRAFT_BENCH_DIR to relocate the BENCH record directory (defaults
+  * to ./BENCH under the working tree, NOT a hardcoded absolute path).
   */
 object Bench {
+
+  /** BENCH record dir derived from env or the working directory, so a
+    * checkout anywhere (scripts/submit.sh on a real cluster) writes its
+    * records inside its own tree instead of a literal /root/repo.
+    */
+  private def benchDir: java.nio.file.Path =
+    Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
+      Paths.get(sys.props("user.dir"), "BENCH").toString))
 
   private def build(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -52,7 +70,7 @@ object Bench {
   private def benchSink(cpus: Int): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_BENCH_SINK",
       if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-bench"
-      else "/root/repo/target/bench")
+      else Paths.get(sys.props("user.dir"), "target", "bench").toString)
     s"$root/sink$cpus"
   }
 
@@ -66,6 +84,29 @@ object Bench {
     (1 to n).foreach { _ =>
       val sec = time(operators.Router.route(spark, sfDir, benchSink(cpus), rep))
       println(f"ROUTE_SECONDS=$sec%.3f")
+    }
+    spark.stop()
+  }
+
+  /** Child-JVM mode for the per-query passes: runs every SparkEntry query
+    * at `cpus` in name order, `mode` = "count" (count()-forced; Catalyst
+    * may prune output projections) or "exec" (full materialization through
+    * the noop sink). The steal fraction is measured around EACH query so a
+    * slow sample carries its own weather evidence. One line per query:
+    *   QUERY_RESULT=<name>,<sec>,<steal>
+    */
+  private def queriesChild(cpus: Int, sfDir: String, mode: String): Unit = {
+    val spark = build(cpus)
+    sources.TranscriptStore.table(spark, sfDir) // input materialization = setup
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val j0 = cpuJiffies()
+      val sec = try time {
+        if (mode == "count") fn(spark, sfDir).count()
+        else fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => -1.0 }
+      val steal = stealFrac(j0, cpuJiffies())
+      spark.catalog.clearCache() // no query serves a predecessor's cache
+      println(f"QUERY_RESULT=$name,$sec%.3f,$steal%.3f")
     }
     spark.stop()
   }
@@ -104,7 +145,15 @@ object Bench {
     (sec, stealFrac(j0, cpuJiffies()))
   }
 
-  private def spawnRouteInner(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double = {
+  /** The shared pinned-fresh-JVM child launcher. taskset ENFORCES the core
+    * budget: local[N] only bounds Spark task threads — GC/JIT/netty/
+    * compression threads size themselves off the full machine (a
+    * "local[4]" child measured 13 busy cores), which silently hands a low
+    * parallelism level extra compute. Under an affinity mask the JVM's
+    * availableProcessors (and so its GC/compiler pools) match the nominal
+    * level, the way a real N-core executor container would.
+    */
+  private def spawnChild(cpus: Int, childArgs: Seq[String]): String = {
     val java = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -115,13 +164,6 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    // taskset ENFORCES the core budget: local[N] only bounds Spark task
-    // threads — GC/JIT/netty/compression threads size themselves off the
-    // full machine (a "local[4]" child measured 13 busy cores), which
-    // silently hands the low level extra compute and corrupts the N-vs-4N
-    // ratio. Under an affinity mask the JVM's availableProcessors (and so
-    // its GC/compiler thread pools) match the nominal level, the way a
-    // real N-core executor container would.
     val pin =
       if (Files.exists(Paths.get("/usr/bin/taskset")))
         Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
@@ -135,11 +177,16 @@ object Bench {
       .mkString(_root_.java.io.File.pathSeparator)
     val cmd = (pin ++ Seq(java) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", cp,
-      "graft.Bench", "--route", cpus.toString, sfDir, rep.toString, n.toString)).toArray
+      "-cp", cp, "graft.Bench") ++ childArgs).toArray
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
+    out
+  }
+
+  private def spawnRouteInner(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double = {
+    val out = spawnChild(cpus,
+      Seq("--route", cpus.toString, sfDir, rep.toString, n.toString))
     // surface the child's per-phase route timings for scaling diagnosis
     out.linesIterator.filter(l => l.startsWith("[route]") || l.startsWith("ROUTE_SECONDS"))
       .foreach(l => System.err.println(s"[bench child cpus=$cpus] $l"))
@@ -150,10 +197,27 @@ object Bench {
     } else secs.min
   }
 
+  /** One pinned fresh-JVM query pass; (name, seconds, steal) per query. */
+  private def spawnQueries(cpus: Int, sfDir: String,
+                           mode: String): Seq[(String, Double, Double)] = {
+    val out = spawnChild(cpus, Seq("--queries", cpus.toString, sfDir, mode))
+    val re = "QUERY_RESULT=([^,]+),(-?[0-9.]+),([0-9.]+)".r
+    val rows = re.findAllMatchIn(out)
+      .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    if (rows.isEmpty)
+      System.err.println(s"[bench] queries child mode=$mode cpus=$cpus failed:\n" +
+        out.takeRight(2000))
+    rows
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "--route") {
       routeChild(args(1).toInt, args(2), args(3).toInt,
         if (args.length >= 5) args(4).toInt else 2)
+      return
+    }
+    if (args.length >= 4 && args(0) == "--queries") {
+      queriesChild(args(1).toInt, args(2), args(3))
       return
     }
 
@@ -162,41 +226,27 @@ object Bench {
     val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
-    // ---- per-query timings at the configured parallelism ----
-    val spark = build(cpus)
     // input materialization (the "Iceberg table") is setup, not workload
+    val spark = build(cpus)
     sources.TranscriptStore.table(spark, sfDir)
     val nTurns = sources.TranscriptStore.table(spark, sfDir, rep).count()
-    val skipQueries = sys.env.get("SPARK_GRAFT_QUERIES").contains("0")
-    val results =
-      if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
-        spark.catalog.clearCache() // no query serves a predecessor's cache
-        name -> sec
-      }
     spark.stop()
-    // Second pass through the `noop` sink: count() lets Catalyst prune the
-    // output projection (a map-only query's regex/decode work vanishes and
-    // unreferenced lifecycle joins are eliminated), so the count column
-    // understates map-heavy queries. The noop write materializes every
-    // output column with zero sink I/O — the honest "run the query" number.
-    // Both columns are recorded; count stays for cross-round comparability.
-    // Runs in a FRESH SparkSession: operators that persist() intermediates
-    // (tfidf tf, shingle indexes) would otherwise serve the exec pass from
-    // the count pass's plan-matched cache blocks, understating exec and
-    // pinning memory across the 2x-queries session.
-    val spark2 = build(cpus)
-    val resultsExec =
-      if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val sec = try time(
-          fn(spark2, sfDir).write.mode("overwrite").format("noop").save())
-        catch { case _: Throwable => -1.0 }
-        spark2.catalog.clearCache() // drop this query's persisted intermediates
-        name -> sec
-      }
-    spark2.stop()
+
+    // ---- per-query timings: two pinned fresh-JVM passes ----
+    // count() lets Catalyst prune the output projection (a map-only
+    // query's regex/decode work vanishes and unreferenced lifecycle joins
+    // are eliminated), so the count column understates map-heavy queries.
+    // The noop write materializes every output column with zero sink I/O —
+    // the honest "run the query" number. Both columns are recorded; count
+    // stays for cross-round comparability. Separate JVMs per pass:
+    // operators that persist() intermediates (tfidf tf, shingle indexes)
+    // would otherwise serve the exec pass from the count pass's
+    // plan-matched cache blocks.
+    val skipQueries = sys.env.get("SPARK_GRAFT_QUERIES").contains("0")
+    val countRows = if (skipQueries) Seq.empty else spawnQueries(cpus, sfDir, "count")
+    val execRows = if (skipQueries) Seq.empty else spawnQueries(cpus, sfDir, "exec")
+    val results = countRows.map { case (n, s, _) => n -> s }
+    val resultsExec = execRows.map { case (n, s, _) => n -> s }
     // Regression tripwire (VERDICT r2 item 6): a query whose full
     // materialization costs >5x its count()-forced time is re-evaluating a
     // pruned subtree (the q11-class double-parse bug). Floor of 5s keeps
@@ -224,11 +274,9 @@ object Bench {
     val (nLo, nHi) = (levels(0), levels(1))
     // Interleaved (lo, hi) rounds, min per level across rounds: host weather
     // (noisy virtualized neighbors) shifts minute-to-minute, and a single
-    // child per level lets one bad window corrupt the ratio. Adaptive: stop
-    // once the min-based efficiency clears the target with margin, cap at
-    // SPARK_GRAFT_SCALE_ROUNDS; EVERY per-run time is reported in the JSON
-    // (scale_runs_*) so the distribution — not just the headline — is on
-    // the record.
+    // child per level lets one bad window corrupt the ratio. EVERY per-run
+    // time is reported (scale_runs_*) so the distribution — not just the
+    // headline — is on the record.
     case class Scaling(tLo: Double, tHi: Double, eff: Double,
                        runsLo: Seq[Double], runsHi: Seq[Double], turns: Long,
                        stealLo: Seq[Double], stealHi: Seq[Double])
@@ -264,20 +312,26 @@ object Bench {
 
     val total = results.map(_._2).sum
     val totalExec = resultsExec.map(_._2).sum
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val qsExec = resultsExec.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    def qmap(rows: Seq[(String, Double)]) =
+      rows.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val scalingJson = scaling.map { s =>
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       f""","scale_cores_n":$nLo,"scale_cores_4n":$nHi,"scale_turns":${s.turns},"throughput_n":${s.tLo}%.0f,"throughput_4n":${s.tHi}%.0f,"scale_runs_n_sec":${arr(s.runsLo)},"scale_runs_4n_sec":${arr(s.runsHi)},"scale_steal_n":${arr(s.stealLo)},"scale_steal_4n":${arr(s.stealHi)},"scaling_efficiency":${s.eff}%.3f"""
     }.getOrElse("")
     val flagsJson = execFlags.map(k => s""""$k"""").mkString("[", ",", "]")
-    val jsonLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_exec":$totalExec%.3f,"queries_exec":$qsExec,"exec_flags":$flagsJson,"sf":"$sfDir","turns":$nTurns,"rep":$rep,"pipeline_sec":$secMain%.3f,"turns_per_sec":$thruMain%.0f$scalingJson}"""
-    println(jsonLine)
-    // belt-and-braces: the JSON also lands on disk in case stdout is
-    // re-prefixed by a wrapper (BENCH_r01 lost its metrics that way)
-    Files.createDirectories(Paths.get("/root/repo/BENCH"))
-    Files.writeString(Paths.get("/root/repo/BENCH/last_run.json"), jsonLine + "\n")
+    // COMPACT stdout line (driver record): headline numbers only — the two
+    // 46-entry per-query maps overflow the driver's stdout capture window
+    // (BENCH_r01..r03 all came back `parsed: null` with the tail starting
+    // mid-JSON). Full per-query detail: BENCH/last_run.json.
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"total_exec":$totalExec%.3f,"exec_flags":$flagsJson,"queries_detail":"BENCH/last_run.json","sf":"$sfDir","turns":$nTurns,"rep":$rep,"pipeline_sec":$secMain%.3f,"turns_per_sec":$thruMain%.0f$scalingJson}"""
+    println(headline)
+    // the full record (headline + per-query maps + per-query steal) lands
+    // on disk; the steal maps make a slow sample self-explaining
+    val fullLine = headline.dropRight(1) +
+      f""","queries":${qmap(results)},"queries_exec":${qmap(resultsExec)},"queries_steal":${qmap(countRows.map(r => r._1 -> r._3))},"queries_exec_steal":${qmap(execRows.map(r => r._1 -> r._3))}}"""
+    Files.createDirectories(benchDir)
+    Files.writeString(benchDir.resolve("last_run.json"), fullLine + "\n")
 
     // ---- refresh BENCH/BASELINE.md ----
     val md = new StringBuilder
@@ -294,7 +348,7 @@ object Bench {
     // Sections persist as sidecar fragments so a PARTIAL rerun (headline
     // only, or queries only) cannot clobber the full record of a prior run:
     // the md always shows the latest COMPLETE measurement of each section.
-    val scalingSection = Paths.get("/root/repo/BENCH/scaling_section.md")
+    val scalingSection = benchDir.resolve("scaling_section.md")
     scaling.foreach { s =>
       val sm = new StringBuilder
       sm ++= f"| local[$nLo] (N)   | ${s.turns} | ${s.turns / s.tLo}%.2f | ${s.tLo}%.0f |\n"
@@ -322,16 +376,19 @@ object Bench {
       Files.writeString(scalingSection, sm.toString)
     }
     if (Files.exists(scalingSection)) md ++= Files.readString(scalingSection)
-    val queriesSection = Paths.get("/root/repo/BENCH/queries_section.md")
+    val queriesSection = benchDir.resolve("queries_section.md")
     if (!skipQueries) {
       val qm = new StringBuilder
-      qm ++= "\n## Per-query seconds (fresh session per pass; count = count()-forced, Catalyst may\n"
-      qm ++= "prune output projections; exec = full materialization through the noop sink;\n"
-      qm ++= "cache cleared between queries)\n\n"
-      qm ++= "| query | count sec | exec sec |\n|---|---|---|\n"
-      val execMap = resultsExec.toMap
-      results.foreach { case (k, v) =>
-        qm ++= f"| $k | $v%.3f | ${execMap.getOrElse(k, -1.0)}%.3f |\n"
+      qm ++= "\n## Per-query seconds (pinned fresh JVM per pass; count = count()-forced,\n"
+      qm ++= "Catalyst may prune output projections; exec = full materialization through\n"
+      qm ++= "the noop sink; cache cleared between queries; steal = hypervisor steal\n"
+      qm ++= "fraction measured across THAT query — a slow sample with steal to match is\n"
+      qm ++= "host weather on the record, not an engine regression)\n\n"
+      qm ++= "| query | count sec | steal | exec sec | steal |\n|---|---|---|---|---|\n"
+      val execMap = execRows.map(r => r._1 -> (r._2, r._3)).toMap
+      countRows.foreach { case (k, v, st) =>
+        val (e, est) = execMap.getOrElse(k, (-1.0, 0.0))
+        qm ++= f"| $k | $v%.3f | $st%.2f | $e%.3f | $est%.2f |\n"
       }
       qm ++= f"\nTotals: count ${total}%.1f s, exec ${totalExec}%.1f s over ${results.size} queries. "
       qm ++= (if (execFlags.isEmpty) "No query exceeds 5x its count time on full materialization.\n"
@@ -341,7 +398,7 @@ object Bench {
     if (Files.exists(queriesSection)) md ++= Files.readString(queriesSection)
     md ++= "\nReference baseline: the reference plugin publishes no numbers (BASELINE.md); "
     md ++= "its architecture is single-threaded-per-socket Ruby with a blocking ES RPC per stop event.\n"
-    Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md.toString)
+    Files.writeString(benchDir.resolve("BASELINE.md"), md.toString)
 
     // tmpfs sinks are scratch: free the RAM they pin
     Seq(nLo, nHi, cpus).distinct.map(benchSink)

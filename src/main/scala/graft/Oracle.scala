@@ -362,13 +362,16 @@ FROM atk2 a LEFT JOIN ag USING (attack_id)
 ORDER BY attack_id, attack_name""",
 
     // SFT-sample assembly: ordered string_agg reproduces array_sort +
-    // array_join byte-for-byte (ASCII payloads: strlen == char length)
+    // array_join byte-for-byte. length() (characters), not strlen()
+    // (bytes), to match Spark's length() on non-ASCII text; the ORDER BY
+    // carries role, text so tied turn_idx duplicates agree with the
+    // engine's array_sort(struct(turn_idx, role, text)) tiebreak
     "q48_render_convs" -> s"""WITH $tCte
 SELECT conv_id,
   CAST(count(*) AS INT) AS n_turns,
-  CAST(coalesce(SUM(CASE WHEN role = 'assistant' THEN strlen(text) END), 0) AS BIGINT)
+  CAST(coalesce(SUM(CASE WHEN role = 'assistant' THEN length(text) END), 0) AS BIGINT)
     AS n_assistant_chars,
-  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx, role, text) AS rendered
 FROM t GROUP BY conv_id ORDER BY conv_id""",
 
     "q13_conv_stats" -> s"""WITH $tCte
@@ -516,6 +519,31 @@ GROUP BY doc_id ORDER BY doc_id""",
 WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
 sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM base),
 idx AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+ORDER BY doc_a, doc_b""",
+
+      // the CAPPED jaccardPairs configuration — the scale-default path the
+      // 100 TB pipeline actually runs (stop-shingles with doc-frequency >
+      // cap dropped before the self-join; sizes and intersections both
+      // computed over the capped shingle space). Cap 10 < the max observed
+      // doc-frequency at sf0.01 (29), so the cap ACTIVATES here and the
+      // oracle checks the preconditioned semantics, not a no-op
+      "q51_jaccard_capped" -> s"""
+WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+idx0 AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+hot AS (SELECT shingle FROM idx0 GROUP BY 1 HAVING count(*) > 10),
+idx AS (SELECT doc_id, shingle FROM idx0
+        WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

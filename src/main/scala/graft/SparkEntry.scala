@@ -125,6 +125,13 @@ object SparkEntry {
     "q25_jaccard_pairs" -> ((s, dir) =>
       operators.DedupOps.jaccardPairs(docs(s, dir), 0.12,
         maxShingleDocFreq = Int.MaxValue).orderBy("doc_a", "doc_b")),
+    // the CAPPED configuration — the scale-default stop-shingle
+    // preconditioning the 100 TB path runs (cap 10 ACTIVATES at sf0.01:
+    // max observed shingle doc-frequency 29), with its own oracle row so
+    // the production semantics are green, not just sbt-pinned
+    "q51_jaccard_capped" -> ((s, dir) =>
+      operators.DedupOps.jaccardPairs(docs(s, dir), 0.12,
+        maxShingleDocFreq = 10).orderBy("doc_a", "doc_b")),
     "q26_minhash_lsh" -> ((s, dir) =>
       operators.DedupOps.lshCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")),
     "q27_ann_brute" -> ((s, dir) =>

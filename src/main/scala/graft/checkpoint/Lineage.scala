@@ -102,12 +102,12 @@ object Lineage {
     * remainder; committed sinks are never rewritten.
     */
   def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1,
-            limitTo: Option[Set[String]] = None): Manifest = {
+            limitTo: Option[Set[String]] = None,
+            store: graft.sources.TranscriptTable = graft.sources.TranscriptStore): Manifest = {
     import graft.operators.{Pipeline, Router}
     import graft.sources.Transcripts
     Pipeline.configure(spark)
-    val snap = snapshotId(dir, rep,
-      graft.sources.TranscriptStore.table(spark, dir, rep).count())
+    val snap = store.snapshotId(spark, dir, rep)
     val prior = readManifest(outRoot).filter(_.snapshotId == snap)
       .map(_.entries.filter(_.committed).map(e => e.partition -> e).toMap)
       .getOrElse(Map.empty)
@@ -115,8 +115,7 @@ object Lineage {
     val todo = Partitions.filter(p => limitTo.forall(_.contains(p)) && !prior.contains(p))
     if (todo.nonEmpty) {
       val staged = s"$outRoot/_staged"
-      val t = Pipeline.healthFilter(
-        graft.sources.TranscriptStore.table(spark, dir, rep),
+      val t = Pipeline.healthFilter(store.table(spark, dir, rep),
         Transcripts.healthStrings(spark))
       Pipeline.explodedAll(t, Transcripts.utcOffsets(spark))
         .write.mode("overwrite").partitionBy("record_type").parquet(staged)

@@ -115,7 +115,7 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDocFreq: Int = 500): DataFrame = {
-    val idx = shingleIndex(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = Intermediates.persist(shingleIndex(docs))
     // cap disabled (exact-Jaccard contract) -> no census pass at all: the
     // frequency census + anti-join would be a full extra aggregate over the
     // index that can never drop anything
@@ -155,7 +155,7 @@ object DedupOps {
   def decontaminate(docs: DataFrame,
                     benchPred: Column = pmod(col("doc_id"), lit(50)) === 0,
                     threshold: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = Intermediates.persist(shingleIndex(docs))
     val benchShingles = idx.filter(benchPred).select("shingle").distinct()
     val cand = idx.filter(!benchPred)
     val matched = cand.join(broadcast(benchShingles), Seq("shingle"))
@@ -210,11 +210,10 @@ object DedupOps {
     * three consumers (both join sides + sizes).
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val idx = withShingles(docs)
+    val idx = Intermediates.persist(withShingles(docs)
       .select(col("source"), explode_outer(col("_codes")).as("shingle"))
       .filter(col("shingle").isNotNull)
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val sizes = idx.groupBy("source").agg(count("*").as("n"))
     idx.as("a").join(idx.as("b"), "shingle")
       .filter(col("a.source") < col("b.source"))

@@ -41,7 +41,8 @@ object Router {
   /** Parse once and fan out to per-record_type parquet sinks under
     * `outRoot/record_type=X`; returns the routed row count per partition.
     */
-  def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1): Unit = {
+  def route(spark: SparkSession, dir: String, outRoot: String, rep: Int = 1,
+            store: graft.sources.TranscriptTable = graft.sources.TranscriptStore): Unit = {
     Pipeline.configure(spark)
     val staged = s"$outRoot/_staged"
     rmrf(Paths.get(outRoot))
@@ -52,8 +53,7 @@ object Router {
     }
 
     // phase 1: one scan, one parse, all partitions staged
-    val t = Pipeline.healthFilter(
-      graft.sources.TranscriptStore.table(spark, dir, rep),
+    val t = Pipeline.healthFilter(store.table(spark, dir, rep),
       Transcripts.healthStrings(spark))
     // Fan-out axes (the north rule's per-severity and per-tool sinks):
     //   - record_type and tool are DIRECTORY axes everywhere;

@@ -232,9 +232,9 @@ object TextOps {
     // the tokenize+explode+agg pass runs twice (same pattern as the
     // jaccard shingle index; at 100 TB this is the materialized term-freq
     // intermediate table)
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count("*").as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tf = Intermediates.persist(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count("*").as("tf")))
     val dfreq = tf.groupBy("token").agg(count("*").as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))

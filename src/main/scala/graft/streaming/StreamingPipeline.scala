@@ -31,12 +31,18 @@ object StreamingPipeline {
     spark.readStream.schema(transcriptSchema).parquet(path)
   }
 
-  /** Streaming parse->explode: identical operator graph to batch. */
-  def streamRecords(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+  /** Streaming parse->explode INCLUDING the internal `_stop` rows (the
+    * lifecycle facts the routed writer correlates per batch — the batch
+    * analog is Router.route's staged `_stop` partition).
+    */
+  def streamRecordsAll(spark: SparkSession, transcripts: DataFrame): DataFrame = {
     val clean = Pipeline.healthFilter(transcripts, Transcripts.healthStrings(spark))
     Pipeline.explodedAll(clean, Transcripts.utcOffsets(spark))
-      .filter(col("record_type") =!= "_stop")
   }
+
+  /** Streaming parse->explode: identical operator graph to batch. */
+  def streamRecords(spark: SparkSession, transcripts: DataFrame): DataFrame =
+    streamRecordsAll(spark, transcripts).filter(col("record_type") =!= "_stop")
 
   /** W1: per-sink windowed aggregates with late-data handling — counts and
     * approximate distinct conversations per (1-minute window, record_type,
@@ -141,7 +147,14 @@ object StreamingPipeline {
       val s = applyLifeEvents(
         state.getOption.getOrElse(LifeState(0, "", "", closed = false)), evs)
       state.update(s)
-      state.setTimeoutTimestamp(evs.map(_.ts.getTime).max + ttlMs)
+      // clamped to watermark+1: a batch of purely LATE events (all ts+ttl
+      // <= current watermark) would otherwise make setTimeoutTimestamp
+      // throw (Spark requires the timeout to exceed the watermark) and
+      // crash the query — flatMapGroupsWithState does NOT pre-filter late
+      // rows. The clamp arms the earliest legal timeout instead: the
+      // already-expired state evicts on the next trigger.
+      state.setTimeoutTimestamp(math.max(evs.map(_.ts.getTime).max + ttlMs,
+        state.getCurrentWatermarkMs + 1))
       Iterator.single(LifeUpdate(attackId, if (s.closed) 0 else 1,
         s.startDate, s.endDate, s.nStarts))
     }
@@ -247,17 +260,90 @@ object StreamingPipeline {
     batch.write.mode("overwrite").partitionBy("record_type")
       .parquet(s"$outRoot/batch_id=$batchId")
 
+  /** Narrow W3 lifecycle facts of one micro-batch — same extraction as
+    * Router.route's phase-2 staged read-back (Pipeline.lifeFactsFromStaged),
+    * applied to the in-flight batch before its `_stop` rows are dropped.
+    */
+  def batchLifeFacts(batch: DataFrame): DataFrame =
+    batch.filter(col("record_type").isin(Pipeline.Attacks, Pipeline.Stop) &&
+        col("attack_id") =!= 0L)
+      .select(col("attack_id"), (col("record_type") === Pipeline.Attacks).as("is_atk"),
+        col("ts"), col("device_utc_time"))
+
+  /** The streamed MERGE: rewrite the resolved-attacks sink from the attacks
+    * rows routed so far joined with the lifecycle aggregate over ALL facts
+    * accumulated so far. Reference behavior: each stop event synchronously
+    * re-updated the stored attack document in ES (bbn_syslog.rb:271-324);
+    * here a micro-batch of stops updates the attacks sink in one narrow
+    * agg + join. Idempotent by construction (a pure overwrite derived from
+    * the batch-id-keyed raw sinks), so checkpoint replays converge to the
+    * same state. At 100 TB the rewrite becomes an Iceberg MERGE INTO
+    * touching only the affected attacks' files; the facts side stays a
+    * narrow columnar read either way.
+    */
+  def resolveAttacks(spark: SparkSession, outRoot: String): Unit = {
+    val factsPath = s"$outRoot/_lifefacts"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(factsPath))) return
+    val lifeAgg = Pipeline.lifeAggOf(spark.read.parquet(factsPath))
+    val attacks = spark.read.parquet(outRoot)
+      .filter(col("record_type") === Pipeline.Attacks)
+      .drop("record_type", "batch_id")
+    Pipeline.applyLifecycleToAttacks(attacks, lifeAgg)
+      .write.mode("overwrite").parquet(s"$outRoot/_resolved/record_type=attacks")
+  }
+
+  /** The routed-sink batch writer (the streaming analog of Router.route):
+    * 1. the batch's non-`_stop` rows land in their own `batch_id=<id>`
+    *    directory partitioned by record_type (idempotent overwrite — see
+    *    writeBatch for the exactly-once contract);
+    * 2. the batch's narrow lifecycle facts land under `_lifefacts/` with
+    *    the same batch-id-keyed idempotence (underscore prefix keeps both
+    *    sidecars invisible to partition discovery over `outRoot`);
+    * 3. resolveAttacks rewrites the resolved-attacks sink so the routed
+    *    output CONVERGES to the batch Router.route result as the stream
+    *    drains — a stop in batch N closes an attack routed in batch N-k,
+    *    exactly as the reference's ES update side-channel did.
+    */
+  def writeRoutedBatch(outRoot: String)(batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.persist()
+    try {
+      b.filter(col("record_type") =!= Pipeline.Stop)
+        .write.mode("overwrite").partitionBy("record_type")
+        .parquet(s"$outRoot/batch_id=$batchId")
+      batchLifeFacts(b).write.mode("overwrite")
+        .parquet(s"$outRoot/_lifefacts/batch_id=$batchId")
+      resolveAttacks(b.sparkSession, outRoot)
+    } finally b.unpersist()
+  }
+
+  /** Routed streamed sinks -> one DataFrame: the resolved attacks (post
+    * lifecycle MERGE) plus every other family from the batch-id sinks —
+    * the frame a StreamingSpec equates with Router.readRouted.
+    */
+  def readRoutedStream(spark: SparkSession, outRoot: String): DataFrame = {
+    val rest = spark.read.parquet(outRoot)
+      .filter(col("record_type") =!= Pipeline.Attacks)
+      .drop("batch_id")
+    val resolvedPath = s"$outRoot/_resolved/record_type=attacks"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(resolvedPath))) rest
+    else rest.unionByName(
+      spark.read.parquet(resolvedPath)
+        .withColumn("record_type", lit(Pipeline.Attacks)),
+      allowMissingColumns = true)
+  }
+
   /** End-to-end streaming job: parse -> route to per-record_type parquet
     * sinks via foreachBatch (the streaming analog of the S5 fan-out), with
     * checkpointing + batchId-keyed idempotent writes for exactly-once sink
-    * contents (see writeBatch).
+    * contents, and the W3 lifecycle applied per micro-batch so the attacks
+    * sink converges to the batch Router.route output (see writeRoutedBatch).
     */
   def routeStream(spark: SparkSession, sourcePath: String, outRoot: String,
                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val records = streamRecords(spark, streamTranscripts(spark, sourcePath))
+    val records = streamRecordsAll(spark, streamTranscripts(spark, sourcePath))
     records.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(writeBatch(outRoot) _)
+      .foreachBatch(writeRoutedBatch(outRoot) _)
       .start()
   }
 }

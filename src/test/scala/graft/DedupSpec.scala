@@ -25,6 +25,22 @@ class DedupSpec extends SparkSpec {
     clusters.foreach { case (d, c) => assert(kept.contains(c), s"cluster $c has no keeper") }
   }
 
+  test("operator intermediates release after the terminal action (no leaked cache blocks)") {
+    import graft.operators.{Intermediates, TextOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.jaccardPairs(docs, 0.12).count()
+    DedupOps.decontaminate(docs).count()
+    DedupOps.sourceOverlap(docs).count()
+    TextOps.tfidfTopK(docs).count()
+    assert(Intermediates.registered(spark) >= 4)
+    Intermediates.release(spark)
+    assert(Intermediates.registered(spark) == 0)
+    // every cache block the four operators pinned is gone after release
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+
   test("sourceOverlap: identical sources score jaccard 1, disjoint sources emit no pair") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon", "mirror_a"),

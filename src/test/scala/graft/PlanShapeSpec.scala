@@ -55,6 +55,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(nParquetScans(atk) == 2)
   }
 
+  test("lifecycle join resolves as broadcast: the wide records never shuffle") {
+    // the per-attack lifecycle aggregate is tiny (episodes, not turns) —
+    // AQE must land it as a broadcast join; a conf drift that turned this
+    // into a SortMergeJoin would shuffle the full-width records (the r2
+    // q11 regression class). Execute so the adaptive plan is FINAL.
+    val df = Pipeline.attacksCorrelated(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lifecycle join is not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"wide records are being shuffled for a join:\n${plan.take(3000)}")
+  }
+
+  test("ivfTopK probe scan is partition-pruned to the probed buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(4)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    graft.operators.SimilarityOps.buildIvfIndex(emb, idxPath)
+    val df = graft.operators.SimilarityOps.ivfTopK(spark, idxPath, emb.limit(8))
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the index scan must carry a partition filter on the bucket column
+    // (static or dynamic pruning) — an unpruned probe reads the whole
+    // index per query, the exact failure mode the IVF layout exists to
+    // prevent at 100 TB
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains(idxPath.split('/').last))
+      .orElse(plan.linesIterator.find(_.contains("PartitionFilters")))
+    assert(scanLine.exists(l => l.contains("dynamicpruning") ||
+        """PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(l).isDefined),
+      s"no bucket partition filter on the index scan:\n${plan.take(3000)}")
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(idxPath))
+  }
+
   test("AQE and its skew-join re-plan are active in the session the pipeline runs under") {
     // cosineDupPairs' hot-bucket fan-out and the lifecycle join rely on
     // runtime re-planning; pin the confs so a builder change can't

@@ -88,6 +88,101 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows == 1, s"expected 1 live state row after eviction, saw $stateRows")
   }
 
+  test("TTL lifecycle survives a batch of purely-late events (timeout clamped to watermark)") {
+    implicit val sql = spark.sqlContext
+    // without no-data batches the late-row filter lags one batch behind the
+    // eviction watermark (SPARK-40925 split), exposing the clamp scenario
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[LifeEvent]
+    val ttlMs = 3600L * 1000
+    val updates = input.toDS().withWatermark("ts", "0 seconds")
+      .groupByKey(_.attack_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        StreamingPipeline.lifecycleFnTtl(ttlMs))
+    val q = updates.writeStream.format("memory").queryName("life_late")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Spark filters late rows against the PREVIOUS batch's watermark but
+    // evicts state (and validates timeouts) against the CURRENT one — so a
+    // row can pass the late filter while its ts+ttl sits behind the
+    // eviction watermark. batch 1: watermark(after) = 00:00.
+    input.addData(
+      LifeEvent(1L, is_stop = false, "2026-01-01T00:00:00", ts("2026-01-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 2 jumps event time: watermark(after) = 10:00
+    input.addData(
+      LifeEvent(2L, is_stop = false, "2026-01-01T10:00:00", ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 3: ts 00:30 passes the late filter (> batch-1 watermark 00:00)
+    // but 00:30 + 1h TTL = 01:30 <= eviction watermark 10:00 — an
+    // unclamped setTimeoutTimestamp throws and kills the query here
+    input.addData(
+      LifeEvent(7L, is_stop = false, "2026-01-01T00:30:00", ts("2026-01-01 00:30:00")))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died on late input: ${q.exception}")
+    val byId = spark.table("life_late").collect()
+      .groupBy(_.getAs[Long]("attack_id")).view.mapValues(_.last).toMap
+    assert(byId(7L).getAs[Int]("attack_ongoing") == 1)
+    q.stop()
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+  }
+
+  test("streamed route converges to the batch Router.route output (lifecycle applied)") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.TranscriptStore.table(spark, dir)
+    val srcPath = Files.createTempDirectory("graft-conv-src").toString
+    val outPath = Files.createTempDirectory("graft-conv-out").toString
+    val ckpt = Files.createTempDirectory("graft-conv-ckpt").toString
+
+    // two arrival phases so lifecycle stops land in LATER micro-batches
+    // than their starts (turn parity splits start/stop pairs arbitrarily)
+    all.filter(col("turn_idx") % 2 === 0).write.mode("append").parquet(srcPath)
+    val q1 = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    all.filter(col("turn_idx") % 2 === 1).write.mode("append").parquet(srcPath)
+    val q2 = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val batchOut = Files.createTempDirectory("graft-conv-batch").toString
+    graft.operators.Router.route(spark, dir, batchOut)
+    val expected = graft.operators.Router.readRouted(spark, batchOut)
+    val streamed = StreamingPipeline.readRoutedStream(spark, outPath)
+    // full-row equality INCLUDING the lifecycle columns (attack_ongoing,
+    // attack_end_date) — everything cast to string to erase partition-dir
+    // type inference differences between the two sink layouts
+    val cols = expected.columns.toSet.intersect(streamed.columns.toSet).toSeq.sorted
+    assert(cols.contains("attack_ongoing") && cols.contains("attack_end_date"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    assert(streamed.count() == expected.count())
+    assert(norm(streamed).except(norm(expected)).count() == 0)
+    assert(norm(expected).except(norm(streamed)).count() == 0)
+    // and the stream really did close attacks (not all-ongoing as before)
+    assert(streamed.filter(col("record_type") === "attacks" &&
+      col("attack_ongoing") === 0).count() > 0)
+  }
+
+  test("writeRoutedBatch replay is idempotent: records, facts and resolved attacks") {
+    val dir = "/root/testdata/sf0.001"
+    val outPath = Files.createTempDirectory("graft-routed-replay").toString
+    val exploded = StreamingPipeline.streamRecordsAll(spark,
+      graft.sources.TranscriptStore.table(spark, dir))
+    val b0 = exploded.filter(col("turn_idx") % 2 === 0)
+    val b1 = exploded.filter(col("turn_idx") % 2 === 1)
+    StreamingPipeline.writeRoutedBatch(outPath)(b0, 0L)
+    StreamingPipeline.writeRoutedBatch(outPath)(b1, 1L)
+    val resolved = StreamingPipeline.readRoutedStream(spark, outPath)
+    val before = resolved.count()
+    val closedBefore = resolved.filter(col("attack_ongoing") === 0).count()
+    // sink-side crash replay: batch 1 delivered again with the same rows
+    StreamingPipeline.writeRoutedBatch(outPath)(b1, 1L)
+    val after = StreamingPipeline.readRoutedStream(spark, outPath)
+    assert(after.count() == before)
+    assert(after.filter(col("attack_ongoing") === 0).count() == closedBefore)
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
+  }
+
   test("file-stream parse produces the same routed records as the batch path") {
     val dir = "/root/testdata/sf0.001"
     val src = graft.sources.TranscriptStore.table(spark, dir)
