@@ -99,14 +99,24 @@ object Bench {
     val spark = build(cpus)
     sources.TranscriptStore.table(spark, sfDir) // input materialization = setup
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val j0 = cpuJiffies()
-      val sec = try time {
+      def once(): Double = try time {
         if (mode == "count") fn(spark, sfDir).count()
         else fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       } catch { case _: Throwable => -1.0 }
+      val j0 = cpuJiffies()
+      val sec = once()
       val steal = stealFrac(j0, cpuJiffies())
       spark.catalog.clearCache() // no query serves a predecessor's cache
       println(f"QUERY_RESULT=$name,$sec%.3f,$steal%.3f")
+      if (mode == "count") {
+        // second, WARM run of the same plan: a first run that dwarfs its
+        // warm repeat (q11 count: 17.6 s -> 1.9 s, steal 0.02) is one-time
+        // plan compilation (codegen/JIT), not engine steady-state — this
+        // puts that attribution ON the record instead of asserting it
+        val w = once()
+        spark.catalog.clearCache()
+        println(f"QUERY_WARM=$name,$w%.3f")
+      }
     }
     spark.stop()
   }
@@ -140,9 +150,18 @@ object Bench {
   /** spawnRoute + the steal fraction measured across the child's lifetime. */
   private def spawnRouteSteal(cpus: Int, sfDir: String, rep: Int,
                               n: Int = 2): (Double, Double) = {
+    val (sec, steal, _) = spawnRouteAll(cpus, sfDir, rep, n)
+    (sec, steal)
+  }
+
+  /** spawnRouteSteal + EVERY per-route time (cold first), so a headline
+    * sample carries its own distribution on the record.
+    */
+  private def spawnRouteAll(cpus: Int, sfDir: String, rep: Int,
+                            n: Int = 2): (Double, Double, Seq[Double]) = {
     val j0 = cpuJiffies()
-    val sec = spawnRouteInner(cpus, sfDir, rep, n)
-    (sec, stealFrac(j0, cpuJiffies()))
+    val secs = spawnRouteInner(cpus, sfDir, rep, n)
+    (if (secs.isEmpty) -1.0 else secs.min, stealFrac(j0, cpuJiffies()), secs)
   }
 
   /** The shared pinned-fresh-JVM child launcher. taskset ENFORCES the core
@@ -184,30 +203,33 @@ object Bench {
     out
   }
 
-  private def spawnRouteInner(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Double = {
+  private def spawnRouteInner(cpus: Int, sfDir: String, rep: Int, n: Int = 2): Seq[Double] = {
     val out = spawnChild(cpus,
       Seq("--route", cpus.toString, sfDir, rep.toString, n.toString))
     // surface the child's per-phase route timings for scaling diagnosis
     out.linesIterator.filter(l => l.startsWith("[route]") || l.startsWith("ROUTE_SECONDS"))
       .foreach(l => System.err.println(s"[bench child cpus=$cpus] $l"))
     val secs = "ROUTE_SECONDS=([0-9.]+)".r.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
-    if (secs.isEmpty) {
+    if (secs.isEmpty)
       System.err.println(s"[bench] child cpus=$cpus failed:\n" + out.takeRight(2000))
-      -1.0
-    } else secs.min
+    secs
   }
 
-  /** One pinned fresh-JVM query pass; (name, seconds, steal) per query. */
-  private def spawnQueries(cpus: Int, sfDir: String,
-                           mode: String): Seq[(String, Double, Double)] = {
+  /** One pinned fresh-JVM query pass; (name, seconds, steal) per query plus
+    * the warm-repeat map (count mode only).
+    */
+  private def spawnQueries(cpus: Int, sfDir: String, mode: String)
+      : (Seq[(String, Double, Double)], Map[String, Double]) = {
     val out = spawnChild(cpus, Seq("--queries", cpus.toString, sfDir, mode))
     val re = "QUERY_RESULT=([^,]+),(-?[0-9.]+),([0-9.]+)".r
     val rows = re.findAllMatchIn(out)
       .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    val warm = "QUERY_WARM=([^,]+),(-?[0-9.]+)".r.findAllMatchIn(out)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
     if (rows.isEmpty)
       System.err.println(s"[bench] queries child mode=$mode cpus=$cpus failed:\n" +
         out.takeRight(2000))
-    rows
+    (rows, warm)
   }
 
   def main(args: Array[String]): Unit = {
@@ -243,8 +265,12 @@ object Bench {
     // would otherwise serve the exec pass from the count pass's
     // plan-matched cache blocks.
     val skipQueries = sys.env.get("SPARK_GRAFT_QUERIES").contains("0")
-    val countRows = if (skipQueries) Seq.empty else spawnQueries(cpus, sfDir, "count")
-    val execRows = if (skipQueries) Seq.empty else spawnQueries(cpus, sfDir, "exec")
+    val (countRows, countWarm) =
+      if (skipQueries) (Seq.empty[(String, Double, Double)], Map.empty[String, Double])
+      else spawnQueries(cpus, sfDir, "count")
+    val (execRows, _) =
+      if (skipQueries) (Seq.empty[(String, Double, Double)], Map.empty[String, Double])
+      else spawnQueries(cpus, sfDir, "exec")
     val results = countRows.map { case (n, s, _) => n -> s }
     val resultsExec = execRows.map { case (n, s, _) => n -> s }
     // Regression tripwire (VERDICT r2 item 6): a query whose full
@@ -260,7 +286,7 @@ object Bench {
       f"[bench] WARN exec/count > 5x for $k: count=${countMap(k)}%.2f s exec=${resultsExec.toMap.apply(k)}%.2f s"))
 
     // ---- end-to-end throughput in fresh child JVMs ----
-    val secMain = spawnRoute(cpus, sfDir, rep, n = 3)
+    val (secMain, stealMain, runsMain) = spawnRouteAll(cpus, sfDir, rep, n = 3)
     val thruMain = nTurns / secMain
     // scaling runs use a larger table so the ~5s of per-route driver-side
     // commit/planning floor stays <5% of the low-parallelism runtime
@@ -319,18 +345,32 @@ object Bench {
       f""","scale_cores_n":$nLo,"scale_cores_4n":$nHi,"scale_turns":${s.turns},"throughput_n":${s.tLo}%.0f,"throughput_4n":${s.tHi}%.0f,"scale_runs_n_sec":${arr(s.runsLo)},"scale_runs_4n_sec":${arr(s.runsHi)},"scale_steal_n":${arr(s.stealLo)},"scale_steal_4n":${arr(s.stealHi)},"scaling_efficiency":${s.eff}%.3f"""
     }.getOrElse("")
     val flagsJson = execFlags.map(k => s""""$k"""").mkString("[", ",", "]")
+    Files.createDirectories(benchDir)
+    // Section JSON fragments persist like the .md sidecars: a PARTIAL
+    // rerun (headline-only, or queries-only) keeps the latest COMPLETE
+    // measurement of the other sections in last_run.json instead of
+    // clobbering them. stdout only ever carries THIS run's sections.
+    val scalingFrag = benchDir.resolve("scaling_run.json.frag")
+    if (scalingJson.nonEmpty) Files.writeString(scalingFrag, scalingJson)
+    val queriesFrag = benchDir.resolve("queries_run.json.frag")
+    val queriesJson =
+      if (skipQueries) ""
+      else f""","value":$total%.3f,"n_queries":${results.size},"total_exec":$totalExec%.3f,"exec_flags":$flagsJson,"queries":${qmap(results)},"queries_count_warm":${qmap(results.map(r => r._1 -> countWarm.getOrElse(r._1, -1.0)))},"queries_exec":${qmap(resultsExec)},"queries_steal":${qmap(countRows.map(r => r._1 -> r._3))},"queries_exec_steal":${qmap(execRows.map(r => r._1 -> r._3))}"""
+    if (queriesJson.nonEmpty) Files.writeString(queriesFrag, queriesJson)
     // COMPACT stdout line (driver record): headline numbers only — the two
-    // 46-entry per-query maps overflow the driver's stdout capture window
+    // 47-entry per-query maps overflow the driver's stdout capture window
     // (BENCH_r01..r03 all came back `parsed: null` with the tail starting
     // mid-JSON). Full per-query detail: BENCH/last_run.json.
+    val runsMainJson = runsMain.map(x => f"$x%.2f").mkString("[", ",", "]")
     val headline =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"total_exec":$totalExec%.3f,"exec_flags":$flagsJson,"queries_detail":"BENCH/last_run.json","sf":"$sfDir","turns":$nTurns,"rep":$rep,"pipeline_sec":$secMain%.3f,"turns_per_sec":$thruMain%.0f$scalingJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"total_exec":$totalExec%.3f,"exec_flags":$flagsJson,"queries_detail":"BENCH/last_run.json","sf":"$sfDir","turns":$nTurns,"rep":$rep,"pipeline_sec":$secMain%.3f,"pipeline_runs_sec":$runsMainJson,"pipeline_steal":$stealMain%.2f,"turns_per_sec":$thruMain%.0f$scalingJson}"""
     println(headline)
-    // the full record (headline + per-query maps + per-query steal) lands
-    // on disk; the steal maps make a slow sample self-explaining
-    val fullLine = headline.dropRight(1) +
-      f""","queries":${qmap(results)},"queries_exec":${qmap(resultsExec)},"queries_steal":${qmap(countRows.map(r => r._1 -> r._3))},"queries_exec_steal":${qmap(execRows.map(r => r._1 -> r._3))}}"""
-    Files.createDirectories(benchDir)
+    // the full record: this run's headline + the latest complete section
+    // fragments (fresh ones were just written above)
+    def frag(p: java.nio.file.Path) =
+      if (Files.exists(p)) Files.readString(p) else ""
+    val fullLine =
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","turns":$nTurns,"rep":$rep,"pipeline_sec":$secMain%.3f,"pipeline_runs_sec":$runsMainJson,"pipeline_steal":$stealMain%.2f,"turns_per_sec":$thruMain%.0f${frag(scalingFrag)}${frag(queriesFrag)}}"""
     Files.writeString(benchDir.resolve("last_run.json"), fullLine + "\n")
 
     // ---- refresh BENCH/BASELINE.md ----
@@ -345,6 +385,11 @@ object Bench {
     md ++= "## End-to-end parse->route throughput (turns/sec)\n\n"
     md ++= "| parallelism | turns | seconds | turns/sec |\n|---|---|---|---|\n"
     md ++= f"| local[$cpus] (bench run) | $nTurns | $secMain%.2f | $thruMain%.0f |\n"
+    md ++= f"\nHeadline = min of ${runsMain.size} routes in one fresh pinned child (all runs: "
+    md ++= runsMain.map(x => f"$x%.1f").mkString(", ")
+    md ++= f" s; child-lifetime steal $stealMain%.2f). Route 1 is cold (page cache + JIT);\n"
+    md ++= "the 32-core level has no pinned headroom, so congested windows show up as\n"
+    md ++= "run dispersion here rather than as steal.\n"
     // Sections persist as sidecar fragments so a PARTIAL rerun (headline
     // only, or queries only) cannot clobber the full record of a prior run:
     // the md always shows the latest COMPLETE measurement of each section.
@@ -380,15 +425,17 @@ object Bench {
     if (!skipQueries) {
       val qm = new StringBuilder
       qm ++= "\n## Per-query seconds (pinned fresh JVM per pass; count = count()-forced,\n"
-      qm ++= "Catalyst may prune output projections; exec = full materialization through\n"
+      qm ++= "Catalyst may prune output projections; warm = the SAME count plan run\n"
+      qm ++= "again — a first run dwarfing its warm repeat is one-time plan compilation\n"
+      qm ++= "(codegen/JIT), not engine steady-state; exec = full materialization through\n"
       qm ++= "the noop sink; cache cleared between queries; steal = hypervisor steal\n"
-      qm ++= "fraction measured across THAT query — a slow sample with steal to match is\n"
-      qm ++= "host weather on the record, not an engine regression)\n\n"
-      qm ++= "| query | count sec | steal | exec sec | steal |\n|---|---|---|---|---|\n"
+      qm ++= "fraction measured across THAT query (coarse below ~1 s) — a slow sample\n"
+      qm ++= "with steal to match is host weather on the record, not a regression)\n\n"
+      qm ++= "| query | count sec | warm | steal | exec sec | steal |\n|---|---|---|---|---|---|\n"
       val execMap = execRows.map(r => r._1 -> (r._2, r._3)).toMap
       countRows.foreach { case (k, v, st) =>
         val (e, est) = execMap.getOrElse(k, (-1.0, 0.0))
-        qm ++= f"| $k | $v%.3f | $st%.2f | $e%.3f | $est%.2f |\n"
+        qm ++= f"| $k | $v%.3f | ${countWarm.getOrElse(k, -1.0)}%.3f | $st%.2f | $e%.3f | $est%.2f |\n"
       }
       qm ++= f"\nTotals: count ${total}%.1f s, exec ${totalExec}%.1f s over ${results.size} queries. "
       qm ++= (if (execFlags.isEmpty) "No query exceeds 5x its count time on full materialization.\n"

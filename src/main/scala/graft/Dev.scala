@@ -30,15 +30,25 @@ object Dev {
     }
     args.drop(1).foreach { q =>
       (1 to 2).foreach { r =>
+        // codegen compile-time deltas adjudicate whether a slow first run
+        // is janino/JIT compilation (one-time) or engine steady-state
+        import org.apache.spark.metrics.source.CodegenMetrics._
+        def cg(): (Long, Double) =
+          (METRIC_COMPILATION_TIME.getCount,
+           METRIC_COMPILATION_TIME.getSnapshot.getMean * METRIC_COMPILATION_TIME.getCount)
+        val (c0, m0) = cg()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, dir).count()
         val tc = (System.nanoTime() - t0) / 1e9
+        val (c1, m1) = cg()
         spark.catalog.clearCache()
         val t1 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
         val te = (System.nanoTime() - t1) / 1e9
+        val (c2, m2) = cg()
         spark.catalog.clearCache()
-        println(f"[time] $q run$r: count ${tc}%.1f s (rows=$n), exec ${te}%.1f s")
+        println(f"[time] $q run$r: count ${tc}%.1f s (rows=$n, ${c1 - c0} compiles ~${(m1 - m0) / 1000}%.1f s), " +
+          f"exec ${te}%.1f s (${c2 - c1} compiles ~${(m2 - m1) / 1000}%.1f s)")
       }
     }
     spark.stop()

@@ -475,6 +475,21 @@ reach(doc_id, r) AS (
   SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
 cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
 
+    // the embedding-space edition: edges = q29's bucketed cosine pairs
+    val cosClusterCte = s"""b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE ${cos("x.embedding", "y.embedding")} >= 0.25),
+edges AS (
+  SELECT a AS src, b AS dst FROM cand
+  UNION ALL SELECT b, a FROM cand),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.vec_id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+cl AS (SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id)"""
+
     Map(
       "q20_dedup_exact" -> """
 SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper_doc_id,
@@ -832,6 +847,21 @@ SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE ${cos("x.embedding", "y.embedding")} >= 0.25
 ORDER BY vec_a, vec_b""",
+
+      // connected components over the q29 cosine candidate graph (min
+      // reachable vec_id via a recursive closure, the embedding analog of
+      // q32's resolution; the engine contracts the same edges to the same
+      // fixpoint)
+      "q52_cos_clusters" -> s"""WITH RECURSIVE $cosClusterCte
+SELECT vec_id, cluster_id FROM cl ORDER BY vec_id""",
+
+      // the semantically-deduplicated embedding corpus (q50's analog):
+      // one min-id keeper per cosine cluster + its cluster size
+      "q53_embed_dedup" -> s"""WITH RECURSIVE $cosClusterCte,
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+SELECT cl.vec_id, sz.cluster_size
+FROM cl JOIN sz ON sz.cluster_id = cl.vec_id AND cl.cluster_id = cl.vec_id
+ORDER BY cl.vec_id""",
 
       "q31_png_decode" -> """
 SELECT doc_id,

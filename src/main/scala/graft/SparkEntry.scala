@@ -26,6 +26,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- pipeline: parse -> enrich -> normalize -> route -> aggregate ----
+    // the global orderBy is the DRIVER CONTRACT's deterministic-dump
+    // requirement, not a production shape: at 10^12 turns a total order is
+    // a presentation concern — the engine would sortWithinPartitions on
+    // (conv_id, turn_idx) (per-conversation order is what downstream
+    // consumers need; the store already clusters by conv) and let readers
+    // merge, never range-exchange the full text corpus
     "q01_transcripts" -> ((s, dir) => {
       Pipeline.configure(s)
       graft.sources.TranscriptStore.table(s, dir).orderBy("conv_id", "turn_idx")
@@ -227,7 +233,15 @@ object SparkEntry {
     // dedup materialized: the clean corpus, one keeper per near-dup
     // cluster with its cluster size (q32's resolution put to work)
     "q50_dedup_corpus" -> ((s, dir) =>
-      operators.DedupOps.dedupedCorpus(docs(s, dir)).orderBy("doc_id")))
+      operators.DedupOps.dedupedCorpus(docs(s, dir)).orderBy("doc_id")),
+    // embedding near-dup clusters: the same star-contraction resolution
+    // over the q29 cosine candidate graph (semantic dedup's cluster step)
+    "q52_cos_clusters" -> ((s, dir) =>
+      operators.SimilarityOps.cosineDupClusters(emb(s, dir)).orderBy("vec_id")),
+    // and its materialization: one keeper per cosine cluster + size —
+    // the embedding-space analog of q50
+    "q53_embed_dedup" -> ((s, dir) =>
+      operators.SimilarityOps.dedupedByEmbedding(emb(s, dir)).orderBy("vec_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -814,6 +814,14 @@ object Pipeline {
     * replacement for the reference's file-logger diagnostics
     * (bbn_common.rb:18-49, bbn_syslog.rb:413-417, bbn_cef.rb:42-62).
     * Pure map-side classification; no join against the routed output.
+    *
+    * Deliberately its OWN scan rather than a branch of parsedBase: the
+    * classifier needs only the format probe + one KV pass (a fraction of
+    * the full parse), runs on a different cadence than routing (audit
+    * jobs), and sharing parsedBase would widen every records() plan with
+    * reject columns it always prunes. At 100 TB the right fusion is
+    * operational, not planned: route once (Router stages everything) and
+    * point this classifier at the same staged scan.
     */
   def rejects(spark: SparkSession, dir: String, rep: Int = 1): DataFrame = {
     val t = transcriptsClean(spark, dir, rep)

@@ -317,6 +317,38 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Embedding near-dup CLUSTERS: connected components over the
+    * cosineDupPairs candidate graph — the semantic-dedup complement of the
+    * shingle-based dupClusters (q32). Same resolution machinery
+    * (large-star/small-star contraction over (long, long) edges, O(log n)
+    * narrow rounds); only the candidate generator differs, which is
+    * exactly why clustersFromEdgesStar takes the edge list as a parameter.
+    * Embeddings never enter the contraction — the cosine scoring ends at
+    * the pair list.
+    */
+  def cosineDupClusters(emb: DataFrame, threshold: Double = 0.25,
+                        bits: Int = 8): DataFrame =
+    DedupOps.clustersFromEdgesStar(
+        emb.select(col("vec_id").as("doc_id")),
+        cosineDupPairs(emb, threshold, bits)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  /** The semantically-deduplicated embedding corpus: one keeper (min
+    * vec_id) per cosine cluster with its cluster size — the embedding-
+    * space analog of DedupOps.dedupedCorpus (q50). The label table is
+    * (long, long); sizes are one narrow agg; the vectors themselves are
+    * only touched by the id-keyed semi-join at the end.
+    */
+  def dedupedByEmbedding(emb: DataFrame, threshold: Double = 0.25,
+                         bits: Int = 8): DataFrame = {
+    val clusters = cosineDupClusters(emb, threshold, bits)
+    val sizes = clusters.groupBy("cluster_id").agg(count("*").as("cluster_size"))
+    clusters.filter(col("cluster_id") === col("vec_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_size"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the same
     * sign-LSH bucketing (candidates must share a bucket).
     */

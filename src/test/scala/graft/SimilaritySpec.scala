@@ -159,6 +159,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(10L, 11L), s"heap kept $kept, window keeps {10, 11}")
   }
 
+  test("cosine clusters: pairs land in one cluster, keepers are minima, sizes partition") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(4)
+    val clusters = SimilarityOps.cosineDupClusters(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every candidate pair is resolved into the SAME cluster
+    SimilarityOps.cosineDupPairs(emb, 0.25).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster labels are component minima (a label always maps to itself)
+    clusters.values.foreach(c => assert(clusters(c) == c, s"label $c not a root"))
+    // the materialized dedup: keepers are exactly the roots, sizes partition
+    val kept = SimilarityOps.dedupedByEmbedding(emb)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster_size")).toMap
+    assert(kept.keySet == clusters.values.toSet)
+    assert(kept.values.sum == emb.count())
+  }
+
   test("brute-force cosine: self is rank 1 with similarity 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val top = SimilarityOps.bruteTopK(emb, nQueries = 3, k = 2)
