@@ -678,6 +678,27 @@ res AS (
 SELECT doc_id, n_terms_matched, score FROM res
 ORDER BY score DESC, doc_id LIMIT 20""",
 
+      // source-weighted token-budget mix: each source's pseudo-shuffled
+      // prefix under its budget (same multiplicative mix key as the engine)
+      "q54_mix_budget" -> """
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    (doc_id * 2654435761) % 999983 AS mix_key
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_key, doc_id) - n_tokens AS prev_cum
+  FROM s),
+b AS (
+  SELECT 'src' || CAST(r AS VARCHAR) AS source,
+         CAST(1000 + (r % 5) * 1000 AS BIGINT) AS token_budget
+  FROM range(0, 20) t(r))
+SELECT c.doc_id, c.source, c.n_tokens, CAST(c.prev_cum AS BIGINT) AS prefix_tokens
+FROM c JOIN b USING (source)
+WHERE c.prev_cum < b.token_budget
+ORDER BY c.doc_id""",
+
       "q42_pack_sequences" -> """
 WITH s AS (
   SELECT doc_id, source,

@@ -241,7 +241,12 @@ object SparkEntry {
     // and its materialization: one keeper per cosine cluster + size —
     // the embedding-space analog of q50
     "q53_embed_dedup" -> ((s, dir) =>
-      operators.SimilarityOps.dedupedByEmbedding(emb(s, dir)).orderBy("vec_id")))
+      operators.SimilarityOps.dedupedByEmbedding(emb(s, dir)).orderBy("vec_id")),
+    // the data-mixing step: per-source token budgets -> deterministic
+    // pseudo-shuffled prefix per source (retry-stable, incremental)
+    "q54_mix_budget" -> ((s, dir) =>
+      operators.SampleOps.mixByTokenBudget(
+        docs(s, dir), operators.SampleOps.defaultBudgets(s)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -95,6 +95,47 @@ object SampleOps {
       .withColumn("n_chunk_tokens", size(TextOps.tokens(col("chunk_text"))))
   }
 
+  /** Default per-source token budgets for the mix: a deterministic
+    * up/down-weighting over the corpus's 20 ingestion sources.
+    */
+  def defaultBudgets(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 20).map(i => (s"src$i", 1000L + (i % 5) * 1000L))
+      .toDF("source", "token_budget")
+  }
+
+  /** Source-weighted token-budget MIX — the pretraining data-mixing step:
+    * given per-source token budgets (the tiny dim above, broadcast),
+    * select each source's deterministic pseudo-shuffled PREFIX of
+    * documents whose exclusive cumulative token count stays under the
+    * budget, so every source contributes its budgeted share of tokens to
+    * the mix. Selection is a pure prefix predicate over a stable order
+    * (multiplicative mix of doc_id, ties on doc_id) — no RNG, so retries,
+    * speculative tasks and resumed runs emit the identical mix; the mix
+    * key pseudo-shuffles ids so the prefix is an unbiased sample, not the
+    * oldest docs (new corpus ids hash into arbitrary prefix positions, so
+    * regrowing the corpus re-draws the mix — pin the snapshot id when the
+    * mix must be frozen). Bounded overflow as in packSequences: the last
+    * kept doc may overshoot by < 1 document.
+    *
+    * Scale shape: one map (token count + mix key), one per-source window
+    * prefix sum (skew ceiling = largest source, the q42 note; the
+    * two-level variant — per-partition partial sums + broadcast offsets —
+    * drops in when one source dominates), one broadcast join + filter.
+    * Text never shuffles; only (id, source, n_tokens) does.
+    */
+  def mixByTokenBudget(docs: DataFrame, budgets: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("_mix_key", "doc_id")
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+        pmod(col("doc_id") * lit(2654435761L), lit(999983L)).as("_mix_key"))
+      .withColumn("_prev_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("_prev_cum") < col("token_budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("_prev_cum").as("prefix_tokens"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")

@@ -80,6 +80,29 @@ class SampleSpec extends SparkSpec {
     assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "just a short document")
   }
 
+  test("token-budget mix: prefixes respect budgets, saturate them, and re-run identical") {
+    import graft.operators.SampleOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val budgets = SampleOps.defaultBudgets(spark)
+    val mix = SampleOps.mixByTokenBudget(docs, budgets)
+    val budgetMap = budgets.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = mix.collect()
+    assert(rows.nonEmpty)
+    // every selected doc started strictly under its source's budget
+    rows.foreach(r => assert(r.getAs[Long]("prefix_tokens") < budgetMap(r.getString(1))))
+    // per source: the budget is saturated unless the source ran out of docs
+    val perSourceTotal = docs
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val picked = rs.map(_.getAs[Long]("n_tokens")).sum
+      assert(picked >= budgetMap(src) || rs.size == perSourceTotal(src),
+        s"$src under budget (${picked}/${budgetMap(src)}) with docs left over")
+    }
+    // pure function of the input: a second run selects the identical mix
+    val again = SampleOps.mixByTokenBudget(docs, budgets)
+    assert(mix.except(again).count() == 0 && again.except(mix).count() == 0)
+  }
+
   test("vocab top-k counts globally, breaks ties by token, plans as TakeOrdered") {
     val docs = Seq(
       (1L, "b b b a a c"),
