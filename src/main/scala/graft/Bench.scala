@@ -275,12 +275,18 @@ object Bench {
     val resultsExec = execRows.map { case (n, s, _) => n -> s }
     // Regression tripwire (VERDICT r2 item 6): a query whose full
     // materialization costs >5x its count()-forced time is re-evaluating a
-    // pruned subtree (the q11-class double-parse bug). Floor of 5s keeps
-    // sub-second noise out.
+    // pruned subtree (the q11-class double-parse bug). Baseline =
+    // min(first, warm) count: the warm repeat strips one-time JVM warmup
+    // from the denominator, so a warmup-inflated first count can't mask a
+    // real exec regression. Floor of 5s keeps sub-second noise out.
     val countMap = results.toMap
+    val baseMap = results.map { case (k, v) =>
+      val w = countWarm.getOrElse(k, -1.0)
+      k -> math.max(if (w > 0) math.min(v, w) else v, 0.001)
+    }.toMap
     val execFlags = resultsExec.collect {
       case (k, e) if countMap.getOrElse(k, -1.0) > 0 &&
-        e > 5 * countMap(k) && e > 5.0 => k
+        e > 5 * baseMap(k) && e > 5.0 => k
     }
     execFlags.foreach(k => System.err.println(
       f"[bench] WARN exec/count > 5x for $k: count=${countMap(k)}%.2f s exec=${resultsExec.toMap.apply(k)}%.2f s"))

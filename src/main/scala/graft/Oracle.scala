@@ -869,6 +869,17 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE ${cos("x.embedding", "y.embedding")} >= 0.25
 ORDER BY vec_a, vec_b""",
 
+      // embedding-level decontamination: max cosine vs the bench set
+      // (vec_id % 50 = 0), MAX is comparison-only so bit-exact
+      "q55_embed_decontam" -> s"""
+WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+sc AS (
+  SELECT c.vec_id, MAX(${cos("c.embedding", "b.bv")}) AS mc
+  FROM c, b GROUP BY c.vec_id)
+SELECT vec_id, round(mc, 6) AS max_cos_sim, mc >= 0.30 AS is_contaminated
+FROM sc ORDER BY vec_id""",
+
       // connected components over the q29 cosine candidate graph (min
       // reachable vec_id via a recursive closure, the embedding analog of
       // q32's resolution; the engine contracts the same edges to the same

@@ -246,7 +246,11 @@ object SparkEntry {
     // pseudo-shuffled prefix per source (retry-stable, incremental)
     "q54_mix_budget" -> ((s, dir) =>
       operators.SampleOps.mixByTokenBudget(
-        docs(s, dir), operators.SampleOps.defaultBudgets(s)).orderBy("doc_id")))
+        docs(s, dir), operators.SampleOps.defaultBudgets(s)).orderBy("doc_id")),
+    // semantic decontamination: max cosine vs the broadcast bench set —
+    // catches paraphrased eval leakage the shingle check (q39) misses
+    "q55_embed_decontam" -> ((s, dir) =>
+      operators.SimilarityOps.embedDecontaminate(emb(s, dir)).orderBy("vec_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -349,6 +349,31 @@ object SimilarityOps {
       .select(col("vec_id"), col("cluster_size"))
   }
 
+  /** Embedding-level benchmark decontamination: flag candidate vectors
+    * whose max cosine against the eval/bench set reaches `threshold` —
+    * the SEMANTIC complement of the n-gram decontamination (q39):
+    * paraphrased eval leakage that shares no shingles still lands near
+    * its source in embedding space.
+    *
+    * Scale shape mirrors decontaminate: the bench set is small by nature
+    * (eval suites), so its vectors BROADCAST and the candidate side is
+    * scanned once map-side — no shuffle of the corpus, one narrow
+    * per-candidate max aggregate. MAX of per-pair cosines is comparison
+    * only (no float accumulation), so the score is order-independent and
+    * the DuckDB oracle replays it bit-for-bit.
+    */
+  def embedDecontaminate(emb: DataFrame,
+                         benchPred: Column = pmod(col("vec_id"), lit(50)) === 0,
+                         threshold: Double = 0.30): DataFrame = {
+    val bench = emb.filter(benchPred).select(col("embedding").as("bv"))
+    emb.filter(!benchPred).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(bench))
+      .groupBy("vec_id")
+      .agg(max(cosine(col("embedding"), col("bv"))).as("_mc"))
+      .select(col("vec_id"), round(col("_mc"), 6).as("max_cos_sim"),
+        (col("_mc") >= threshold).as("is_contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the same
     * sign-LSH bucketing (candidates must share a bucket).
     */

@@ -177,6 +177,21 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.values.sum == emb.count())
   }
 
+  test("embedding decontamination: clones of bench vectors flag, orthogonal ones don't") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // bench (vec_id % 50 == 0)
+      (50L, Array(0f, 1f, 0f, 0f)),  // bench
+      (1L, Array(2f, 0f, 0f, 0f)),   // parallel to bench 0 -> cos 1
+      (2L, Array(0f, 0f, 1f, 0f)))   // orthogonal to both -> cos 0
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.embedDecontaminate(rows).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!out.contains(0L) && !out.contains(50L)) // bench side never scored
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+  }
+
   test("brute-force cosine: self is rank 1 with similarity 1") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val top = SimilarityOps.bruteTopK(emb, nQueries = 3, k = 2)
