@@ -402,6 +402,8 @@ object Bench {
     val scalingSection = benchDir.resolve("scaling_section.md")
     scaling.foreach { s =>
       val sm = new StringBuilder
+      sm ++= "\n## Scaling: N vs 4N cores (same job, same input)\n\n"
+      sm ++= "| parallelism | turns | seconds | turns/sec |\n|---|---|---|---|\n"
       sm ++= f"| local[$nLo] (N)   | ${s.turns} | ${s.turns / s.tLo}%.2f | ${s.tLo}%.0f |\n"
       sm ++= f"| local[$nHi] (4N) | ${s.turns} | ${s.turns / s.tHi}%.2f | ${s.tHi}%.0f |\n"
       sm ++= f"\nScaling efficiency local[$nLo]->local[$nHi] (sandbox stand-in for N->4N executors): **${s.eff}%.3f** (target >= 0.8).\n"

@@ -101,6 +101,13 @@ class SampleSpec extends SparkSpec {
     // pure function of the input: a second run selects the identical mix
     val again = SampleOps.mixByTokenBudget(docs, budgets)
     assert(mix.except(again).count() == 0 && again.except(mix).count() == 0)
+    // plan pin: the text column never enters the per-source window shuffle —
+    // only (doc_id, source, n_tokens, _mix_key) crosses the exchange
+    val win = mix.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.head
+    assert(!win.child.output.map(_.name).contains("text"),
+      s"text shuffles into the mix window: ${win.child.output.map(_.name)}")
   }
 
   test("vocab top-k counts globally, breaks ties by token, plans as TakeOrdered") {

@@ -190,6 +190,13 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(0L) && !out.contains(50L)) // bench side never scored
     assert(out(1L) == ((1.0, true)))
     assert(out(2L) == ((0.0, false)))
+    // plan pin: bench broadcasts (nested-loop build side) and the max
+    // aggregate partial-combines map-side — the corpus never shuffles
+    // wider than (vec_id, partial max)
+    val plan = SimilarityOps.embedDecontaminate(rows)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("partial_max"), plan.take(1500))
   }
 
   test("brute-force cosine: self is rank 1 with similarity 1") {
