@@ -6,9 +6,12 @@
 # nothing assumes a single JVM (see BENCH/BASELINE.md for the N-vs-4N
 # scaling evidence).
 #
-# Usage: scripts/submit.sh [Bench|Verify|Plans] [args...]
+# Usage: scripts/submit.sh [Bench|Verify|Plans|streaming.StreamMain] [args...]
 #   scripts/submit.sh Bench                       # throughput + scaling JSON
 #   scripts/submit.sh Verify /root/testdata/sf0.01 /tmp/out   # oracle dump
+#   scripts/submit.sh streaming.StreamMain /data/transcripts /data/routed
+#     # streamed route (incremental lifecycle MERGE) + exact conv counts;
+#     # add --drain to process available input and exit
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CLASS="graft.${1:-Bench}"; shift || true

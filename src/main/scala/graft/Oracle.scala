@@ -602,9 +602,9 @@ JOIN sz ON sz.cluster_id = d.doc_id
 ORDER BY d.doc_id""",
 
       "q33_sample_stratified" -> """
-SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS sample_bucket
+SELECT doc_id, lang, ((doc_id % 1000) * 2654435761) % 1000 AS sample_bucket
 FROM documents
-WHERE (doc_id * 2654435761) % 1000 <
+WHERE ((doc_id % 1000) * 2654435761) % 1000 <
   CASE lang WHEN 'en' THEN 350 WHEN 'zh' THEN 700 WHEN 'es' THEN 700
             WHEN 'de' THEN 700 WHEN 'fr' THEN 700 END
 ORDER BY doc_id""",
@@ -684,7 +684,7 @@ ORDER BY score DESC, doc_id LIMIT 20""",
 WITH s AS (
   SELECT doc_id, source,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    (doc_id * 2654435761) % 999983 AS mix_key
+    ((doc_id % 999983) * 2654435761) % 999983 AS mix_key
   FROM documents),
 c AS (
   SELECT doc_id, source, n_tokens,

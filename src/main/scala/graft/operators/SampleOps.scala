@@ -22,14 +22,14 @@ object SampleOps {
 
   /** Engine-portable bucket: Knuth multiplicative mix mod 1000. The
     * multiplier is odd and coprime to 1000, so consecutive ids spread over
-    * all buckets uniformly. Production note: at ids beyond ~3x10^9 the
-    * product overflows int64 — there you'd swap in xxhash64(id) (same plan
-    * shape); the arithmetic form is kept so the DuckDB oracle reproduces
-    * membership bit-for-bit (DuckDB errors on int64 overflow rather than
-    * wrapping, so the oracle pins the non-overflowing domain).
+    * all buckets uniformly. The id is reduced mod 1000 BEFORE the multiply
+    * — identical value for every id ((a*b) mod m == ((a mod m)*b) mod m)
+    * but the product is bounded by 999 * 2654435761 < 2^63, so the bucket
+    * is total over the full int64 id domain (the raw product wraps silently
+    * in Spark and errors under ANSI/DuckDB past ~3.47e9).
     */
   def sampleBucket(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(SampleBuckets))
+    pmod(pmod(id, lit(SampleBuckets)) * lit(2654435761L), lit(SampleBuckets))
 
   /** Default per-language rates: downsample the dominant language, keep
     * more of the tail — the usual corpus-balancing shape.
@@ -127,8 +127,12 @@ object SampleOps {
   def mixByTokenBudget(docs: DataFrame, budgets: DataFrame): DataFrame = {
     val w = Window.partitionBy("source").orderBy("_mix_key", "doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    // id reduced mod 999983 BEFORE the multiply: same key for every id
+    // (modular identity), but the product stays under 2^63 for the whole
+    // int64 domain — the raw doc_id * 2654435761 form wraps silently past
+    // ~3.47e9 (and errors under ANSI/DuckDB), diverging from the oracle
     docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"),
-        pmod(col("doc_id") * lit(2654435761L), lit(999983L)).as("_mix_key"))
+        pmod(pmod(col("doc_id"), lit(999983L)) * lit(2654435761L), lit(999983L)).as("_mix_key"))
       .withColumn("_prev_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .join(broadcast(budgets), Seq("source"))
       .filter(col("_prev_cum") < col("token_budget"))

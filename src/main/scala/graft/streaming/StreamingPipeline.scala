@@ -270,66 +270,148 @@ object StreamingPipeline {
       .select(col("attack_id"), (col("record_type") === Pipeline.Attacks).as("is_atk"),
         col("ts"), col("device_utc_time"))
 
-  /** The streamed MERGE: rewrite the resolved-attacks sink from the attacks
-    * rows routed so far joined with the lifecycle aggregate over ALL facts
-    * accumulated so far. Reference behavior: each stop event synchronously
-    * re-updated the stored attack document in ES (bbn_syslog.rb:271-324);
-    * here a micro-batch of stops updates the attacks sink in one narrow
-    * agg + join. Idempotent by construction (a pure overwrite derived from
-    * the batch-id-keyed raw sinks), so checkpoint replays converge to the
-    * same state. At 100 TB the rewrite becomes an Iceberg MERGE INTO
-    * touching only the affected attacks' files; the facts side stays a
-    * narrow columnar read either way.
+  /** Bucket count for the attack-keyed streamed sidecars. At 100 TB this is
+    * sized so one bucket's attacks fit a target file size (Iceberg would
+    * make it the table's bucket transform); here it only needs to exceed
+    * the typical per-batch touched-attack spread so a micro-batch rewrites
+    * a strict subset of the resolved sink.
     */
-  def resolveAttacks(spark: SparkSession, outRoot: String): Unit = {
-    val factsPath = s"$outRoot/_lifefacts"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(factsPath))) return
-    val lifeAgg = Pipeline.lifeAggOf(spark.read.parquet(factsPath))
-    val attacks = spark.read.parquet(outRoot)
-      .filter(col("record_type") === Pipeline.Attacks)
-      .drop("record_type", "batch_id")
-    Pipeline.applyLifecycleToAttacks(attacks, lifeAgg)
-      .write.mode("overwrite").parquet(s"$outRoot/_resolved/record_type=attacks")
+  val DefaultAttackBuckets = 16
+
+  /** True iff `path` contains at least one parquet data file — the guard
+    * that keeps schema inference from throwing on a sink directory whose
+    * batches were all empty (e.g. only `_stop` rows routed so far).
+    */
+  private def hasParquet(path: String): Boolean = {
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.exists(root) && {
+      val walk = java.nio.file.Files.walk(root)
+      // skip underscore-prefixed subtrees, mirroring Spark's hidden-path
+      // rule: a data file inside `_attacks`/`_resolved` must not make the
+      // MAIN `outRoot` read look non-empty
+      try walk.anyMatch { f =>
+        f.getFileName.toString.endsWith(".parquet") && {
+          val rel = root.relativize(f)
+          (0 until rel.getNameCount - 1)
+            .forall(i => !rel.getName(i).toString.startsWith("_"))
+        }
+      }
+      finally walk.close()
+    }
+  }
+
+  /** The INCREMENTAL resolve frame: attacks and accumulated lifecycle facts
+    * restricted (by PARTITION FILTER on their bucket dirs — plan-pinned in
+    * PlanShapeSpec) to the buckets a micro-batch touched, joined through the
+    * same narrow lifecycle aggregate as the batch MERGE. Exposed separately
+    * from the write so specs can pin the pruned plan shape.
+    */
+  def incrementalResolveFrame(spark: SparkSession, outRoot: String,
+                              touched: Seq[Int], buckets: Int): DataFrame = {
+    val facts = spark.read.parquet(s"$outRoot/_lifefacts")
+      .filter(col("fbucket").isin(touched: _*))
+      .select("attack_id", "is_atk", "ts", "device_utc_time")
+    val attacks = spark.read.parquet(s"$outRoot/_attacks")
+      .filter(col("abucket").isin(touched: _*))
+      .withColumnRenamed("abucket", "rbucket")
+      .drop("batch_id")
+    Pipeline.applyLifecycleToAttacks(attacks, Pipeline.lifeAggOf(facts))
+  }
+
+  /** The streamed MERGE, incremental: rewrite ONLY the resolved-sink buckets
+    * whose attacks this micro-batch routed or whose lifecycle facts it
+    * appended. Reference behavior: each stop event synchronously re-updated
+    * the stored attack document in ES (bbn_syslog.rb:271-324); here a
+    * micro-batch of stops updates the affected attack buckets in one narrow
+    * agg + join + dynamic-partition overwrite.
+    *
+    * Scale shape: per-batch work is O(touched-buckets/B of the sink), not
+    * O(total attacks so far) — the full-sink rewrite was O(B^2) over a
+    * stream's life. Reads prune to the touched buckets at the source
+    * (PartitionFilters on abucket/fbucket), and the write replaces only the
+    * touched `rbucket=` partitions (partitionOverwriteMode=dynamic — the
+    * parquet stand-in for an Iceberg MERGE INTO touching only affected
+    * files). Idempotent: a replayed batch overwrites its own batch-id dirs
+    * first, so the accumulated state it resolves from is unchanged and the
+    * touched buckets rewrite to identical contents.
+    */
+  def resolveAttacks(spark: SparkSession, outRoot: String,
+                     touched: Seq[Int], buckets: Int = DefaultAttackBuckets): Unit = {
+    if (touched.isEmpty || !hasParquet(s"$outRoot/_attacks")) return
+    if (!hasParquet(s"$outRoot/_lifefacts")) return
+    incrementalResolveFrame(spark, outRoot, touched, buckets)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("rbucket")
+      .parquet(s"$outRoot/_resolved/record_type=attacks")
   }
 
   /** The routed-sink batch writer (the streaming analog of Router.route):
-    * 1. the batch's non-`_stop` rows land in their own `batch_id=<id>`
+    * 1. the batch's stats/traffic rows land in their own `batch_id=<id>`
     *    directory partitioned by record_type (idempotent overwrite — see
     *    writeBatch for the exactly-once contract);
-    * 2. the batch's narrow lifecycle facts land under `_lifefacts/` with
-    *    the same batch-id-keyed idempotence (underscore prefix keeps both
-    *    sidecars invisible to partition discovery over `outRoot`);
-    * 3. resolveAttacks rewrites the resolved-attacks sink so the routed
-    *    output CONVERGES to the batch Router.route result as the stream
-    *    drains — a stop in batch N closes an attack routed in batch N-k,
-    *    exactly as the reference's ES update side-channel did.
+    * 2. the batch's attacks rows land under `_attacks/batch_id=<id>`
+    *    partitioned by `abucket = pmod(attack_id, buckets)`, and its narrow
+    *    lifecycle facts under `_lifefacts/batch_id=<id>` partitioned by
+    *    `fbucket` — same batch-id-keyed idempotence; the underscore prefix
+    *    keeps all sidecars invisible to partition discovery over `outRoot`;
+    * 3. resolveAttacks rewrites ONLY the touched resolved buckets so the
+    *    routed output CONVERGES to the batch Router.route result as the
+    *    stream drains — a stop in batch N closes an attack routed in batch
+    *    N-k, exactly as the reference's ES update side-channel did.
     */
-  def writeRoutedBatch(outRoot: String)(batch: DataFrame, batchId: Long): Unit = {
+  def writeRoutedBatch(outRoot: String, buckets: Int = DefaultAttackBuckets)(
+      batch: DataFrame, batchId: Long): Unit = {
     val b = batch.persist()
     try {
-      b.filter(col("record_type") =!= Pipeline.Stop)
+      b.filter(!col("record_type").isin(Pipeline.Stop, Pipeline.Attacks))
         .write.mode("overwrite").partitionBy("record_type")
         .parquet(s"$outRoot/batch_id=$batchId")
-      batchLifeFacts(b).write.mode("overwrite")
+      b.filter(col("record_type") === Pipeline.Attacks)
+        .drop("record_type")
+        .withColumn("abucket", pmod(col("attack_id"), lit(buckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("abucket")
+        .parquet(s"$outRoot/_attacks/batch_id=$batchId")
+      batchLifeFacts(b)
+        .withColumn("fbucket", pmod(col("attack_id"), lit(buckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("fbucket")
         .parquet(s"$outRoot/_lifefacts/batch_id=$batchId")
-      resolveAttacks(b.sparkSession, outRoot)
+      // the touched-bucket set: a scalar probe over the batch (<= `buckets`
+      // distinct ints on the driver, the Lineage.commitPartition pattern)
+      val touched = b
+        .filter(col("record_type") === Pipeline.Attacks ||
+          (col("record_type") === Pipeline.Stop && col("attack_id") =!= 0L))
+        .select(pmod(col("attack_id"), lit(buckets)).cast("int").as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      resolveAttacks(b.sparkSession, outRoot, touched, buckets)
     } finally b.unpersist()
   }
 
   /** Routed streamed sinks -> one DataFrame: the resolved attacks (post
-    * lifecycle MERGE) plus every other family from the batch-id sinks —
-    * the frame a StreamingSpec equates with Router.readRouted.
+    * incremental lifecycle MERGE) plus every other family from the batch-id
+    * sinks — the frame a StreamingSpec equates with Router.readRouted.
+    * Either side may be absent (an attacks-only or stats-only stream);
+    * schema inference is guarded so empty batches can't crash the read.
     */
   def readRoutedStream(spark: SparkSession, outRoot: String): DataFrame = {
-    val rest = spark.read.parquet(outRoot)
-      .filter(col("record_type") =!= Pipeline.Attacks)
-      .drop("batch_id")
     val resolvedPath = s"$outRoot/_resolved/record_type=attacks"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(resolvedPath))) rest
-    else rest.unionByName(
-      spark.read.parquet(resolvedPath)
-        .withColumn("record_type", lit(Pipeline.Attacks)),
-      allowMissingColumns = true)
+    val rest =
+      if (hasParquet(outRoot)) Some(spark.read.parquet(outRoot)
+        .filter(col("record_type") =!= Pipeline.Attacks)
+        .drop("batch_id"))
+      else None
+    val resolved =
+      if (hasParquet(resolvedPath)) Some(spark.read.parquet(resolvedPath)
+        .drop("rbucket")
+        .withColumn("record_type", lit(Pipeline.Attacks)))
+      else None
+    (rest, resolved) match {
+      case (Some(r), Some(a)) => r.unionByName(a, allowMissingColumns = true)
+      case (Some(r), None)    => r
+      case (None, Some(a))    => a
+      case (None, None) =>
+        throw new IllegalStateException(s"no routed parquet data under $outRoot")
+    }
   }
 
   /** End-to-end streaming job: parse -> route to per-record_type parquet

@@ -89,6 +89,24 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.Router.rmrf(java.nio.file.Paths.get(idxPath))
   }
 
+  test("incremental streamed resolve prunes both sidecar scans to the touched buckets") {
+    import graft.streaming.StreamingPipeline
+    val outPath = java.nio.file.Files.createTempDirectory("graft-incr-plan").toString
+    val exploded = StreamingPipeline.streamRecordsAll(spark,
+      graft.sources.TranscriptStore.table(spark, dir))
+    StreamingPipeline.writeRoutedBatch(outPath)(exploded, 0L)
+    val df = StreamingPipeline.incrementalResolveFrame(spark, outPath, Seq(1, 2), 16)
+    val plan = df.queryExecution.executedPlan.toString
+    // the attacks and facts scans must carry PARTITION filters on their
+    // bucket dirs — an unpruned resolve re-reads the whole accumulated
+    // state per micro-batch, the O(B^2) shape the incremental MERGE removes
+    assert("""PartitionFilters: \[[^\]]*abucket""".r.findFirstIn(plan).isDefined,
+      s"no abucket partition filter on the attacks scan:\n${plan.take(3000)}")
+    assert("""PartitionFilters: \[[^\]]*fbucket""".r.findFirstIn(plan).isDefined,
+      s"no fbucket partition filter on the facts scan:\n${plan.take(3000)}")
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
+  }
+
   test("AQE and its skew-join re-plan are active in the session the pipeline runs under") {
     // cosineDupPairs' hot-bucket fan-out and the lifecycle join rely on
     // runtime re-planning; pin the confs so a builder change can't

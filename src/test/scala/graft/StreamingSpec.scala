@@ -91,8 +91,11 @@ class StreamingSpec extends SparkSpec {
   test("TTL lifecycle survives a batch of purely-late events (timeout clamped to watermark)") {
     implicit val sql = spark.sqlContext
     // without no-data batches the late-row filter lags one batch behind the
-    // eviction watermark (SPARK-40925 split), exposing the clamp scenario
+    // eviction watermark (SPARK-40925 split), exposing the clamp scenario;
+    // restored in the finally below so a mid-test failure can't leak the
+    // disabled conf into later tests sharing the session
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
     val input = MemoryStream[LifeEvent]
     val ttlMs = 3600L * 1000
     val updates = input.toDS().withWatermark("ts", "0 seconds")
@@ -125,7 +128,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_.getAs[Long]("attack_id")).view.mapValues(_.last).toMap
     assert(byId(7L).getAs[Int]("attack_ongoing") == 1)
     q.stop()
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    } finally spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
   }
 
   test("streamed route converges to the batch Router.route output (lifecycle applied)") {
@@ -183,6 +186,68 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
   }
 
+  test("a micro-batch's resolve rewrites ONLY its touched resolved buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val outPath = Files.createTempDirectory("graft-routed-incr").toString
+    val exploded = StreamingPipeline.streamRecordsAll(spark,
+      graft.sources.TranscriptStore.table(spark, dir))
+    // batch 0: everything -> the resolved sink covers many buckets
+    StreamingPipeline.writeRoutedBatch(outPath)(exploded, 0L)
+    val resolvedRoot = java.nio.file.Paths.get(s"$outPath/_resolved/record_type=attacks")
+    def bucketFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(resolvedRoot)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rbucket="))
+        .map { d =>
+          val fs = java.nio.file.Files.list(d)
+          try d.getFileName.toString ->
+            fs.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+          finally fs.close()
+        }.toMap
+      finally ls.close()
+    }
+    val before = bucketFiles()
+    assert(before.size > 1, s"expected multiple resolved buckets, got ${before.keySet}")
+    // batch 1: lifecycle facts touching exactly ONE bucket
+    val target = exploded
+      .filter(col("record_type") === "attacks" && col("attack_id") =!= 0L)
+      .select(pmod(col("attack_id"), lit(16)).cast("int")).head.getInt(0)
+    val b1 = exploded.filter(col("record_type").isin("attacks", "_stop") &&
+      col("attack_id") =!= 0L && pmod(col("attack_id"), lit(16)) === target)
+    assert(b1.count() > 0)
+    StreamingPipeline.writeRoutedBatch(outPath)(b1, 1L)
+    val after = bucketFiles()
+    assert(after.keySet == before.keySet)
+    before.keys.filterNot(_ == s"rbucket=$target").foreach { k =>
+      assert(after(k) == before(k), s"untouched resolved bucket $k was rewritten")
+    }
+    assert(after(s"rbucket=$target") != before(s"rbucket=$target"),
+      "the touched bucket was not rewritten")
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
+  }
+
+  test("a first batch of only _stop rows cannot crash the resolve (empty-sink guard)") {
+    val dir = "/root/testdata/sf0.001"
+    val outPath = Files.createTempDirectory("graft-routed-stoponly").toString
+    val exploded = StreamingPipeline.streamRecordsAll(spark,
+      graft.sources.TranscriptStore.table(spark, dir))
+    // batch 0: stops only — _attacks has no data files yet; the old
+    // full-rewrite resolve threw on schema inference here (ADVICE r4)
+    StreamingPipeline.writeRoutedBatch(outPath)(
+      exploded.filter(col("record_type") === "_stop"), 0L)
+    // batch 1: the rest; stops from batch 0 must still close their attacks
+    StreamingPipeline.writeRoutedBatch(outPath)(
+      exploded.filter(col("record_type") =!= "_stop"), 1L)
+    val out = StreamingPipeline.readRoutedStream(spark, outPath)
+    assert(out.count() > 0)
+    assert(out.filter(col("record_type") === "attacks" &&
+      col("attack_ongoing") === 0).count() > 0,
+      "stops routed before their attacks did not close them")
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
+  }
+
   test("file-stream parse produces the same routed records as the batch path") {
     val dir = "/root/testdata/sf0.001"
     val src = graft.sources.TranscriptStore.table(spark, dir)
@@ -195,7 +260,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val streamed = spark.read.parquet(outPath)
+    val streamed = StreamingPipeline.readRoutedStream(spark, outPath)
     val batch = graft.operators.Pipeline.records(spark, dir)
     assert(streamed.count() == batch.count())
     val key = Seq("record_type", "conv_id", "turn_idx", "remote_log_payload")
@@ -214,14 +279,14 @@ class StreamingSpec extends SparkSpec {
     all.filter(col("turn_idx") % 2 === 0).write.mode("append").parquet(srcPath)
     val q1 = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
     q1.processAllAvailable(); q1.stop()
-    val afterPhase1 = spark.read.parquet(outPath).count()
+    val afterPhase1 = StreamingPipeline.readRoutedStream(spark, outPath).count()
 
     // phase 2: more files arrive; a NEW query resumes from the checkpoint
     all.filter(col("turn_idx") % 2 === 1).write.mode("append").parquet(srcPath)
     val q2 = StreamingPipeline.routeStream(spark, srcPath, outPath, ckpt)
     q2.processAllAvailable(); q2.stop()
 
-    val streamed = spark.read.parquet(outPath)
+    val streamed = StreamingPipeline.readRoutedStream(spark, outPath)
     val batch = graft.operators.Pipeline.records(spark, dir)
     assert(streamed.count() > afterPhase1) // phase 2 actually added rows
     assert(streamed.count() == batch.count()) // no loss, no duplicates
@@ -329,6 +394,18 @@ class StreamingSpec extends SparkSpec {
     val key = Seq("record_type", "conv_id", "turn_idx", "remote_log_payload")
     assert(spark.table("sockrecs").select(key.head, key.tail: _*)
       .except(expected.select(key.head, key.tail: _*)).count() == 0)
+  }
+
+  test("StreamMain drains a source directory to routed sinks + exact conv counts") {
+    val dir = "/root/testdata/sf0.001"
+    val srcPath = Files.createTempDirectory("graft-main-src").toString
+    graft.sources.TranscriptStore.table(spark, dir).limit(2000)
+      .write.mode("overwrite").parquet(srcPath)
+    val outPath = Files.createTempDirectory("graft-main-out").toString
+    graft.streaming.StreamMain.run(spark, srcPath, outPath, drain = true)
+    assert(StreamingPipeline.readRoutedStream(spark, outPath).count() > 0)
+    assert(StreamingPipeline.exactSinkCounts(spark, s"$outPath/_convpairs").count() > 0)
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
   }
 
   test("streaming dedup drops redelivered payloads within the watermark") {
