@@ -583,6 +583,28 @@ FROM bands x JOIN bands y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ORDER BY doc_a, doc_b""",
 
+      // the CAPPED banding configuration — the occupancy preconditioning
+      // the 100 TB path runs (band-buckets holding more than `cap` docs
+      // dropped before the self-join). Cap 2 < the max observed band-bucket
+      // occupancy at sf0.01 (3), so the cap ACTIVATES under this oracle
+      "q56_lsh_capped" -> s"""
+WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sigs AS (SELECT doc_id,
+    $minhashCols
+  FROM base),
+bands AS (
+  $bandRows),
+hot AS (SELECT band, bucket FROM bands WHERE bucket IS NOT NULL
+        GROUP BY 1, 2 HAVING count(*) > 2),
+capped AS (
+  SELECT b.doc_id, b.band, b.bucket FROM bands b
+  LEFT JOIN hot h ON b.band = h.band AND b.bucket = h.bucket
+  WHERE h.band IS NULL)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM capped x JOIN capped y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b""",
+
       // connected components over the q26 candidate graph: min reachable
       // doc_id per doc via a recursive closure (tractable at oracle scale;
       // the engine side iterates min-label propagation to the same fixpoint)
@@ -866,6 +888,19 @@ WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM 
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
   round(${cos("x.embedding", "y.embedding")}, 6) AS cos_sim
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE ${cos("x.embedding", "y.embedding")} >= 0.25
+ORDER BY vec_a, vec_b""",
+
+      // the CAPPED bucketed-cosine configuration — sign-buckets holding
+      // more than `cap` vectors dropped before the self-join. Cap 4 < the
+      // max observed sign-bucket occupancy at sf0.01 (6): cap ACTIVE
+      "q57_cos_capped" -> s"""
+WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings),
+hot AS (SELECT bucket FROM b GROUP BY 1 HAVING count(*) > 4),
+c AS (SELECT * FROM b WHERE bucket NOT IN (SELECT bucket FROM hot))
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+  round(${cos("x.embedding", "y.embedding")}, 6) AS cos_sim
+FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE ${cos("x.embedding", "y.embedding")} >= 0.25
 ORDER BY vec_a, vec_b""",
 

@@ -138,14 +138,33 @@ object SparkEntry {
     "q51_jaccard_capped" -> ((s, dir) =>
       operators.DedupOps.jaccardPairs(docs(s, dir), 0.12,
         maxShingleDocFreq = 10).orderBy("doc_a", "doc_b")),
+    // oracle contract = UNCAPPED banding (no occupancy census in the SQL);
+    // the occupancy cap is the scale-path preconditioning, q56 below
     "q26_minhash_lsh" -> ((s, dir) =>
-      operators.DedupOps.lshCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")),
+      operators.DedupOps.lshCandidates(docs(s, dir),
+        maxBucketSize = Int.MaxValue).orderBy("doc_a", "doc_b")),
+    // the CAPPED banding configuration — band-buckets with occupancy over
+    // the cap are dropped before the self-join (cap 2 ACTIVATES at sf0.01:
+    // max observed band-bucket occupancy 3), so the oracle checks the
+    // preconditioned semantics, not a no-op
+    "q56_lsh_capped" -> ((s, dir) =>
+      operators.DedupOps.lshCandidates(docs(s, dir),
+        maxBucketSize = 2).orderBy("doc_a", "doc_b")),
     "q27_ann_brute" -> ((s, dir) =>
       operators.SimilarityOps.bruteTopK(emb(s, dir)).orderBy("query_id", "rank")),
     "q28_ann_lsh" -> ((s, dir) =>
       operators.SimilarityOps.lshTopK(emb(s, dir)).orderBy("query_id", "rank")),
+    // oracle contract = UNCAPPED bucketed cosine; the occupancy cap is the
+    // scale-path preconditioning, q57 below
     "q29_cos_dups" -> ((s, dir) =>
-      operators.SimilarityOps.cosineDupPairs(emb(s, dir), 0.25).orderBy("vec_a", "vec_b")),
+      operators.SimilarityOps.cosineDupPairs(emb(s, dir), 0.25,
+        maxBucketSize = Int.MaxValue).orderBy("vec_a", "vec_b")),
+    // the CAPPED configuration — sign-buckets with occupancy over the cap
+    // dropped before the self-join (cap 4 ACTIVATES at sf0.01: max
+    // observed sign-bucket occupancy 6)
+    "q57_cos_capped" -> ((s, dir) =>
+      operators.SimilarityOps.cosineDupPairs(emb(s, dir), 0.25,
+        maxBucketSize = 4).orderBy("vec_a", "vec_b")),
     "q30_multimodal" -> ((s, dir) =>
       operators.Multimodal.decodedMeta(s, docs(s, dir)).orderBy("doc_id")),
     // real byte-level PNG header decode over synthesized valid containers:

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop operator-persisted intermediates (shingle/band indexes, tf
+      // tables) after each terminal action: over 50+ queries the pinned
+      // blocks would otherwise crowd executor storage
+      finally operators.Intermediates.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -402,8 +402,25 @@ object DedupOps {
     * candidate pairs. Returns distinct (doc_a < doc_b) candidates. The
     * band-bucket join is the 100 TB-scale path: shuffle keyed on
     * (band, bucket), no cross product.
+    *
+    * `maxBucketSize` is the occupancy cap — the banding analog of
+    * jaccardPairs' stop-shingle preconditioning: a (band, bucket) holding f
+    * docs emits f^2/2 join rows, and one band-bucket of templated
+    * near-identical documents (boilerplate pages, license headers) is the
+    * thing that dies at 10^12 docs, where even uniform occupancy N/2^bits
+    * grows linearly with the corpus. Buckets over the cap are DROPPED
+    * before the self-join: a bucket that collides half the corpus carries
+    * no similarity evidence worth f^2 candidate pairs (its TRUE near-dup
+    * pairs almost surely co-occur in a discriminative bucket of another
+    * band; a pair similar enough to share only over-full buckets is
+    * template mass near-dup clustering deliberately ignores — same
+    * recall trade as q51, documented there). Hot buckets are few by
+    * definition -> broadcast anti-join, no extra shuffle of the bands.
+    * The capped configuration has its own oracle row (q56, cap active at
+    * sf0.01); the uncapped contract stays q26.
     */
-  def lshCandidates(docs: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
+  def lshCandidates(docs: DataFrame, k: Int = 16, r: Int = 4,
+                    maxBucketSize: Int = 1000): DataFrame = {
     val sigs = minhashSignature(docs, k)
     // The generator explodes a CHEAP literal band-index sequence; buckets
     // are computed ABOVE the Generate from the materialized minhash column.
@@ -421,7 +438,7 @@ object DedupOps {
     // per-doc solo bucket instead ("solo:" cannot collide with the numeric
     // ":"-joined real buckets), which by construction never yields a pair
     // in the self-join — same output as dropping them, nothing to push.
-    val bands = sigs
+    val bands0 = sigs
       .select(col("doc_id"), col("minhash"),
         explode(sequence(lit(0), lit(k / r - 1))).as("band"))
       .select(col("doc_id"), col("band"),
@@ -431,6 +448,19 @@ object DedupOps {
             x => x.cast("string"))))
           .otherwise(concat(lit("solo:"), col("doc_id")))
           .as("bucket"))
+    // cap disabled (exact-banding contract, q26): no census pass at all —
+    // same reasoning as jaccardPairs' uncapped branch
+    val bands =
+      if (maxBucketSize == Int.MaxValue) bands0
+      else {
+        // the minhash subtree is the expensive part and the capped plan
+        // references the bands THREE times (census + both join sides):
+        // persist once, registered on the release ledger
+        val b = Intermediates.persist(bands0)
+        val hot = b.groupBy("band", "bucket").agg(count("*").as("_occ"))
+          .filter(col("_occ") > maxBucketSize).select("band", "bucket")
+        b.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

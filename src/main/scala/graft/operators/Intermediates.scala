@@ -26,12 +26,23 @@ object Intermediates {
 
   private val registry = new ConcurrentHashMap[SparkSession, java.util.List[DataFrame]]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for later release. */
+  /** Persist `df` (MEMORY_AND_DISK) and register it for later release.
+    * First registration for a session also arms a context listener that
+    * evicts the session's entry at application end, so a long-lived
+    * multi-session process can never retain stopped sessions through the
+    * registry even when a caller forgets release() (Verify releases per
+    * query; Bench's clearCache covers its children).
+    */
   private[graft] def persist(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    registry.computeIfAbsent(df.sparkSession,
-      _ => java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
-    ).add(df)
+    registry.computeIfAbsent(df.sparkSession, s => {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          registry.remove(s)
+      })
+      java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+    }).add(df)
     df
   }
 

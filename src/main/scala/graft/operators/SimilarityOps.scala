@@ -376,10 +376,32 @@ object SimilarityOps {
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the same
     * sign-LSH bucketing (candidates must share a bucket).
+    *
+    * `maxBucketSize` caps bucket occupancy — the embedding-space edition of
+    * the q51/q56 preconditioning: sign-LSH occupancy is ~N/2^bits, LINEAR
+    * in corpus size, so at 10^12 vectors every bucket is over-full and the
+    * self-join emits ~N^2/2^bits pairs. A bucket over the cap carries no
+    * discriminative evidence (it collides a corpus-scale slice of vectors,
+    * dominated by the embedding-space mean direction) and is DROPPED before
+    * the self-join; its true near-dup mass is template similarity the
+    * dedup deliberately ignores, the same recall trade as the shingle cap.
+    * Production tuning raises `bits` so expected occupancy stays under the
+    * cap and the cap only guards the skewed tail. Hot buckets are few ->
+    * broadcast anti-join, no extra shuffle. The capped configuration has
+    * its own oracle row (q57, cap ACTIVE at sf0.01 where max occupancy is
+    * 6); the uncapped contract stays q29.
     */
-  def cosineDupPairs(emb: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
+  def cosineDupPairs(emb: DataFrame, threshold: Double, bits: Int = 8,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val bucketed0 = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
+    val bucketed =
+      if (maxBucketSize == Int.MaxValue) bucketed0
+      else {
+        val hot = bucketed0.groupBy("bucket").agg(count("*").as("_occ"))
+          .filter(col("_occ") > maxBucketSize).select("bucket")
+        bucketed0.join(broadcast(hot), Seq("bucket"), "left_anti")
+      }
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

@@ -100,6 +100,31 @@ class DedupSpec extends SparkSpec {
     assert(j.getLong(0) >= 1 && j.getLong(0) <= j.getLong(1))
   }
 
+  test("LSH bucket-occupancy cap drops over-full band buckets; discriminative pairs survive") {
+    // five byte-identical docs collide in EVERY band bucket (occupancy 5
+    // in each of the 4 bands) — the templated-boilerplate shape whose
+    // f^2 fan-out the cap exists to bound; two near-identical docs land in
+    // their own discriminative buckets (occupancy 2)
+    val boiler = "the same boilerplate license header repeated on every crawled page"
+    val docs = ((0L until 5L).map(i => (i, boiler)) ++
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (11L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      DedupOps.lshCandidates(docs, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    // all C(5,2)=10 template pairs band uncapped
+    assert((0L until 5L).combinations(2).forall(p => uncapped.contains((p(0), p(1)))))
+    val capped = pairs(4)
+    // every bucket holding >= 2 template docs has occupancy >= 5 > 4, so
+    // ALL template pairs vanish; pairs bucketed at occupancy <= 4 are
+    // untouched — the capped set is exactly the uncapped set minus the
+    // hot-bucket mass (fan-out per surviving bucket <= cap^2)
+    assert(capped == uncapped.filterNot { case (a, b) => a < 5 && b < 5 })
+    graft.operators.Intermediates.release(spark)
+  }
+
   test("exact dedup groups by digest, not by raw text, and keeps min-id keeper") {
     val docs = Seq(
       (1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd"), (4L, "aaa bbb"), (5L, "eee"))

@@ -177,6 +177,26 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.values.sum == emb.count())
   }
 
+  test("cosine bucket-occupancy cap drops over-full sign buckets; discriminative pairs survive") {
+    import spark.implicits._
+    // six vectors share one sign pattern (bucket occupancy 6) — the
+    // corpus-mean-direction pile-up whose N^2/2^bits fan-out the cap
+    // bounds; two vectors land in their own bucket (occupancy 2)
+    val rows = ((0 until 6).map(i => (i.toLong, Array(1f + i, 1f, 1f, 1f))) ++
+      Seq((10L, Array(1f, -1f, 1f, 1f)), (11L, Array(2f, -2f, 2f, 2f))))
+      .toDF("vec_id", "embedding")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      SimilarityOps.cosineDupPairs(rows, 0.25, maxBucketSize = cap)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert((0L until 6L).combinations(2).forall(p => uncapped.contains((p(0), p(1)))))
+    assert(uncapped.contains((10L, 11L)))
+    // cap 5 < occupancy 6: the hot bucket's 15 pairs vanish, the
+    // discriminative bucket (occupancy 2 <= cap) is untouched
+    assert(pairs(5) == uncapped.filterNot { case (a, b) => a < 6 && b < 6 })
+  }
+
   test("embedding decontamination: clones of bench vectors flag, orthogonal ones don't") {
     import spark.implicits._
     val rows = Seq(
