@@ -32,6 +32,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The transcripts seam (same as SparkEntry.store): Bench only touches
+    * the table through the trait, so the Iceberg swap covers the harness.
+    */
+  private val store: sources.TranscriptTable = sources.TranscriptStore
+
   /** BENCH record dir derived from env or the working directory, so a
     * checkout anywhere (scripts/submit.sh on a real cluster) writes its
     * records inside its own tree instead of a literal /root/repo.
@@ -80,7 +85,7 @@ object Bench {
     */
   private def routeChild(cpus: Int, sfDir: String, rep: Int, n: Int): Unit = {
     val spark = build(cpus)
-    sources.TranscriptStore.table(spark, sfDir, rep) // materialized already
+    store.table(spark, sfDir, rep) // materialized already
     (1 to n).foreach { _ =>
       val sec = time(operators.Router.route(spark, sfDir, benchSink(cpus), rep))
       println(f"ROUTE_SECONDS=$sec%.3f")
@@ -105,7 +110,7 @@ object Bench {
     */
   private def queriesChild(cpus: Int, sfDir: String, mode: String): Unit = {
     val spark = build(cpus)
-    sources.TranscriptStore.table(spark, sfDir) // input materialization = setup
+    store.table(spark, sfDir) // input materialization = setup
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -261,8 +266,8 @@ object Bench {
 
     // input materialization (the "Iceberg table") is setup, not workload
     val spark = build(cpus)
-    sources.TranscriptStore.table(spark, sfDir)
-    val nTurns = sources.TranscriptStore.table(spark, sfDir, rep).count()
+    store.table(spark, sfDir)
+    val nTurns = store.table(spark, sfDir, rep).count()
     spark.stop()
 
     // ---- per-query timings: two pinned fresh-JVM passes ----
@@ -337,7 +342,7 @@ object Bench {
                        stealLo: Seq[Double], stealHi: Seq[Double])
     val scaling: Option[Scaling] = if (doScaling) {
       val sSpark = build(cpus)
-      val scaleTurns = sources.TranscriptStore.table(sSpark, sfDir, scaleRep).count()
+      val scaleTurns = store.table(sSpark, sfDir, scaleRep).count()
       sSpark.stop()
       // ALL rounds always run (no early exit on a lucky sample): the
       // headline is min-of-rounds with every per-run time on the record,

@@ -16,6 +16,18 @@ import graft.sources.Transcripts
   */
 object SparkEntry {
 
+  /** The transcripts table seam: every query reads through the
+    * TranscriptTable trait, so an Iceberg-backed implementation swaps in
+    * here (and via the `store` parameters on Pipeline/Router/Lineage)
+    * without touching any query.
+    */
+  val store: graft.sources.TranscriptTable = graft.sources.TranscriptStore
+
+  private def transcripts(s: SparkSession, dir: String): DataFrame = {
+    Pipeline.configure(s)
+    store.table(s, dir)
+  }
+
   /** Flagship: full parse->route->aggregate over sf0.001 transcripts. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.records(spark, "/root/testdata/sf0.001")
@@ -32,10 +44,7 @@ object SparkEntry {
     // (conv_id, turn_idx) (per-conversation order is what downstream
     // consumers need; the store already clusters by conv) and let readers
     // merge, never range-exchange the full text corpus
-    "q01_transcripts" -> ((s, dir) => {
-      Pipeline.configure(s)
-      graft.sources.TranscriptStore.table(s, dir).orderBy("conv_id", "turn_idx")
-    }),
+    "q01_transcripts" -> ((s, dir) => transcripts(s, dir).orderBy("conv_id", "turn_idx")),
     "q02_format_counts" -> ((s, dir) =>
       Pipeline.transcriptsClean(s, dir)
         .groupBy(remoteLogFormat(col("text")).as("remote_log_format"))
@@ -81,8 +90,7 @@ object SparkEntry {
         .agg(count("*").as("n_turns"), countDistinct(col("conv_id")).as("n_convs"))
         .orderBy("facility", "severity")),
     "q10_enrich" -> ((s, dir) => {
-      Pipeline.configure(s)
-      graft.sources.TranscriptStore.table(s, dir)
+      transcripts(s, dir)
         .join(broadcast(Transcripts.roleDict(s)), Seq("role"))
         .join(broadcast(Transcripts.toolDict(s)), Seq("tool"))
         .groupBy("role_class", "tool_family")
@@ -97,18 +105,14 @@ object SparkEntry {
           "attack_start_date", "attack_end_date")),
     "q12_rejects" -> ((s, dir) =>
       Pipeline.rejects(s, dir).orderBy("conv_id", "turn_idx")),
-    "q13_conv_stats" -> ((s, dir) => {
-      Pipeline.configure(s)
+    "q13_conv_stats" -> ((s, dir) =>
       operators.ConversationOps
-        .conversationStats(graft.sources.TranscriptStore.table(s, dir))
-        .orderBy("conv_id")
-    }),
-    "q14_turn_deltas" -> ((s, dir) => {
-      Pipeline.configure(s)
+        .conversationStats(transcripts(s, dir))
+        .orderBy("conv_id")),
+    "q14_turn_deltas" -> ((s, dir) =>
       operators.ConversationOps
-        .turnDeltas(graft.sources.TranscriptStore.table(s, dir))
-        .orderBy("conv_id", "turn_idx")
-    }),
+        .turnDeltas(transcripts(s, dir))
+        .orderBy("conv_id", "turn_idx")),
     // downstream analytics over the routed families: rollup (attacks x
     // their mitigation-stat samples, per attack_id) in ONE transcript scan
     "q15_attack_rollup" -> ((s, dir) =>
@@ -188,18 +192,15 @@ object SparkEntry {
     // PII scrub over the transcripts (syslog/CEF payloads carry IPv4s):
     // map-side regex masking + per-row audit counts
     "q36_ip_scrub" -> ((s, dir) => {
-      Pipeline.configure(s)
       operators.TextOps.piiScrub(
-        graft.sources.TranscriptStore.table(s, dir), Seq("conv_id", "turn_idx"))
+        transcripts(s, dir), Seq("conv_id", "turn_idx"))
         .orderBy("conv_id", "turn_idx")
     }),
     // gap-based sessionization over (conv_id, ts)
-    "q37_sessionize" -> ((s, dir) => {
-      Pipeline.configure(s)
+    "q37_sessionize" -> ((s, dir) =>
       operators.ConversationOps
-        .sessionize(graft.sources.TranscriptStore.table(s, dir))
-        .orderBy("conv_id", "turn_idx")
-    }),
+        .sessionize(transcripts(s, dir))
+        .orderBy("conv_id", "turn_idx")),
     // per-doc top terms by tf x (N/df) rational TF-IDF
     "q38_tfidf_topk" -> ((s, dir) =>
       operators.TextOps.tfidfTopK(docs(s, dir)).orderBy("doc_id", "rank")),
@@ -239,12 +240,10 @@ object SparkEntry {
         .orderBy(col("score").desc, col("t1"), col("t2"))),
     // SFT-sample assembly: conversation -> ordered training document with
     // the assistant-span character count for loss masking
-    "q48_render_convs" -> ((s, dir) => {
-      Pipeline.configure(s)
+    "q48_render_convs" -> ((s, dir) =>
       operators.ConversationOps
-        .renderConversations(graft.sources.TranscriptStore.table(s, dir))
-        .orderBy("conv_id")
-    }),
+        .renderConversations(transcripts(s, dir))
+        .orderBy("conv_id")),
     // long-doc chunking: max-64-token windows, 16-token overlap (the
     // splitting complement of q42's packing)
     "q49_chunk_docs" -> ((s, dir) =>

@@ -89,6 +89,31 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.Router.rmrf(java.nio.file.Paths.get(idxPath))
   }
 
+  test("production transcript ordering: hash exchange + LOCAL sort, no global range sort") {
+    val df = Pipeline.transcriptsClustered(spark, dir)
+    // one hash exchange on conv_id; NEVER a range exchange (the global-sort
+    // shape that samples and range-shuffles the full text corpus)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("hashpartitioning(conv_id"), planStr.take(2000))
+    assert(!planStr.toLowerCase.contains("rangepartitioning"), planStr.take(2000))
+    // every sort is partition-local (SortExec renders "Sort [...], <global>, 0";
+    // string match because the adaptive wrapper hides children from collect)
+    assert("""Sort \[[^\]]*\], false, 0""".r.findFirstIn(planStr).isDefined, planStr.take(2000))
+    assert("""Sort \[[^\]]*\], true, 0""".r.findFirstIn(planStr).isEmpty, planStr.take(2000))
+    // and the contract holds: within every partition (conv_id, turn_idx)
+    // is non-decreasing, with each conversation contiguous in one partition
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val parts = df.select(spark_partition_id().as("p"), col("conv_id"), col("turn_idx"))
+      .collect().groupBy(_.getInt(0))
+    parts.values.foreach { rows =>
+      val keys = rows.map(r => (r.getString(1), r.getInt(2))).toSeq
+      assert(keys == keys.sorted, "partition not locally sorted")
+    }
+    val convToParts = df.select(spark_partition_id().as("p"), col("conv_id"))
+      .distinct().collect().groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(convToParts.values.forall(_ == 1), "a conversation spans partitions")
+  }
+
   test("incremental streamed resolve prunes both sidecar scans to the touched buckets") {
     import graft.streaming.StreamingPipeline
     val outPath = java.nio.file.Files.createTempDirectory("graft-incr-plan").toString
