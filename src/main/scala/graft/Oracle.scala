@@ -445,6 +445,28 @@ FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
   private def ivfDsExpr: String =
     graft.operators.IvfModel.centroids.map(ivfD2).mkString("[", ", ", "]")
 
+  /** Shared by q54 (per-source window) and q58 (two-level chunked prefix
+    * sum): the two engine plans must agree row-for-row with ONE truth.
+    */
+  private def mixBudgetSql: String = """
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ((doc_id % 999983) * 2654435761) % 999983 AS mix_key
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_key, doc_id) - n_tokens AS prev_cum
+  FROM s),
+b AS (
+  SELECT 'src' || CAST(r AS VARCHAR) AS source,
+         CAST(1000 + (r % 5) * 1000 AS BIGINT) AS token_budget
+  FROM range(0, 20) t(r))
+SELECT c.doc_id, c.source, c.n_tokens, CAST(c.prev_cum AS BIGINT) AS prefix_tokens
+FROM c JOIN b USING (source)
+WHERE c.prev_cum < b.token_budget
+ORDER BY c.doc_id"""
+
   lazy val dataOpsSql: Map[String, String] = {
     val minhashCols = graft.operators.DedupOps.minhashParams(16).zipWithIndex.map {
       case ((a, b), i) =>
@@ -702,24 +724,11 @@ ORDER BY score DESC, doc_id LIMIT 20""",
 
       // source-weighted token-budget mix: each source's pseudo-shuffled
       // prefix under its budget (same multiplicative mix key as the engine)
-      "q54_mix_budget" -> """
-WITH s AS (
-  SELECT doc_id, source,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    ((doc_id % 999983) * 2654435761) % 999983 AS mix_key
-  FROM documents),
-c AS (
-  SELECT doc_id, source, n_tokens,
-    SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_key, doc_id) - n_tokens AS prev_cum
-  FROM s),
-b AS (
-  SELECT 'src' || CAST(r AS VARCHAR) AS source,
-         CAST(1000 + (r % 5) * 1000 AS BIGINT) AS token_budget
-  FROM range(0, 20) t(r))
-SELECT c.doc_id, c.source, c.n_tokens, CAST(c.prev_cum AS BIGINT) AS prefix_tokens
-FROM c JOIN b USING (source)
-WHERE c.prev_cum < b.token_budget
-ORDER BY c.doc_id""",
+      "q54_mix_budget" -> mixBudgetSql,
+      // the two-level engine variant is BIT-IDENTICAL by contract: one
+      // oracle, two plans (the equality is the point — the chunked prefix
+      // sum must not change a single row)
+      "q58_mix_two_level" -> mixBudgetSql,
 
       "q42_pack_sequences" -> """
 WITH s AS (

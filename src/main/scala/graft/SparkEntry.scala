@@ -268,7 +268,14 @@ object SparkEntry {
     // semantic decontamination: max cosine vs the broadcast bench set —
     // catches paraphrased eval leakage the shingle check (q39) misses
     "q55_embed_decontam" -> ((s, dir) =>
-      operators.SimilarityOps.embedDecontaminate(emb(s, dir)).orderBy("vec_id")))
+      operators.SimilarityOps.embedDecontaminate(emb(s, dir)).orderBy("vec_id")),
+    // the TWO-LEVEL prefix-sum mix: bit-identical output to q54 under the
+    // same oracle, but the heavy window partitions by (source, key-chunk)
+    // so a dominant source no longer funnels into one reducer — the
+    // scale-path upgrade q54's scaladoc documented, now oracle-green
+    "q58_mix_two_level" -> ((s, dir) =>
+      operators.SampleOps.mixByTokenBudgetTwoLevel(
+        docs(s, dir), operators.SampleOps.defaultBudgets(s)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -140,6 +140,48 @@ object SampleOps {
         col("_prev_cum").as("prefix_tokens"))
   }
 
+  /** The TWO-LEVEL prefix-sum mix — the scale path when one source
+    * dominates the corpus and mixByTokenBudget's per-source window becomes
+    * a single-reducer sort of that source. Bit-identical output (q58's
+    * oracle is q54's), different plan:
+    *
+    *   1. each row is assigned an ORDERED chunk: equal-width ranges of the
+    *      mix key (`_chunk = _mix_key div ceil(999983/chunks)`). Chunk id
+    *      grows with the key, so (chunk, key, doc_id) order == global
+    *      (key, doc_id) order, deterministically and without a sampling
+    *      pass — and mix keys are uniform by construction, so chunks are
+    *      balanced (the property a raw doc_id range could not give);
+    *   2. the heavy window partitions by (source, chunk): the skew ceiling
+    *      drops from "largest source" to "largest source / chunks";
+    *   3. per-(source, chunk) token totals — an S x chunks aggregate, tiny
+    *      — get exclusive chunk offsets from a window over that AGGREGATE
+    *      and broadcast back; prev_cum = local prefix + chunk offset.
+    *
+    * packSequences admits the identical drop-in (same window shape).
+    */
+  def mixByTokenBudgetTwoLevel(docs: DataFrame, budgets: DataFrame,
+                               chunks: Int = 32): DataFrame = {
+    val chunkWidth = (999983L + chunks - 1) / chunks
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    val keyed = docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+        pmod(pmod(col("doc_id"), lit(999983L)) * lit(2654435761L), lit(999983L)).as("_mix_key"))
+      .withColumn("_chunk", (col("_mix_key") / lit(chunkWidth)).cast("int"))
+    val wLocal = Window.partitionBy("source", "_chunk").orderBy("_mix_key", "doc_id")
+    val local = keyed.withColumn("_local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.partitionBy("source").orderBy("_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("source", "_chunk")
+      .agg(sum(col("n_tokens")).as("_chunk_tok"))
+      .withColumn("_offset", coalesce(sum(col("_chunk_tok")).over(wOff), lit(0L)))
+      .select("source", "_chunk", "_offset")
+    local.join(broadcast(offsets), Seq("source", "_chunk"))
+      .withColumn("_prev_cum", col("_local_cum") - col("n_tokens") + col("_offset"))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("_prev_cum") < col("token_budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("_prev_cum").as("prefix_tokens"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")

@@ -80,6 +80,32 @@ class SampleSpec extends SparkSpec {
     assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "just a short document")
   }
 
+  test("two-level mix == one-level mix, including under a dominant source") {
+    // a corpus where one source holds 90% of the docs — the shape that
+    // turns the one-level per-source window into a single-reducer sort
+    val docs = ((0L until 450L).map(i => (i, s"tok$i a b c d e", "src0")) ++
+      (450L until 500L).map(i => (i, s"tok$i a b", s"src${(i % 19) + 1}")))
+      .toDF("doc_id", "text", "source")
+    val budgets = SampleOps.defaultBudgets(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // chunks=4 forces multi-chunk sources, so the offset arithmetic is
+    // exercised, not degenerate
+    assert(rows(SampleOps.mixByTokenBudgetTwoLevel(docs, budgets, chunks = 4))
+      == rows(SampleOps.mixByTokenBudget(docs, budgets)))
+    // and on the real corpus with the default chunk count
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    assert(rows(SampleOps.mixByTokenBudgetTwoLevel(real, budgets))
+      == rows(SampleOps.mixByTokenBudget(real, budgets)))
+    // plan shape: the HEAVY window partitions by (source, chunk) — never by
+    // source alone — and the offset/budget dims ride broadcast joins
+    val plan = SampleOps.mixByTokenBudgetTwoLevel(docs, budgets)
+      .queryExecution.executedPlan.toString
+    assert("""Window \[[^\]]*windowspecdefinition\(source[^,]*, _chunk""".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("token-budget mix: prefixes respect budgets, saturate them, and re-run identical") {
     import graft.operators.SampleOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
