@@ -84,6 +84,48 @@ object StreamingPipeline {
       .groupBy("window_start", "record_type", "facility", "severity")
       .agg(countDistinct(col("conv_id")).as("n_convs"))
 
+  /** Maintenance compaction for the pair state: fold every batch directory
+    * present at call time into ONE distinct-pair directory and drop the
+    * originals — the job that keeps the state's file count O(1) instead of
+    * O(batches) over a stream's life (the read side lists every dir).
+    *
+    * Crash-safe by the same dedup that makes the counts exact: the
+    * compacted dir only becomes visible at its _SUCCESS commit (before
+    * that, only a hidden _temporary subtree exists), and until the source
+    * dirs are deleted the pairs are merely DUPLICATED across compact +
+    * originals — countDistinct dedups, so every crash window reads
+    * correct; re-running converges. Batches arriving concurrently are
+    * untouched (only the dirs listed at entry are folded). The compact
+    * dir's partition value is non-numeric, so `batch_id` infers as string
+    * afterwards — the count query never reads it.
+    *
+    * The target name carries a GENERATION suffix (`compact-<epoch>g<n>`)
+    * strictly above every existing compact dir's, so the output path is
+    * never one of the inputs — a replayed batch older than a prior
+    * compact would otherwise make the fold read and overwrite the same
+    * directory, which Spark rejects.
+    */
+  def compactConvPairs(spark: SparkSession, stateDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(stateDir)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val ls = java.nio.file.Files.list(root)
+    val dirs = try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch_id="))
+      .toVector finally ls.close()
+    if (dirs.size < 2) return
+    val names = dirs.map(_.getFileName.toString.stripPrefix("batch_id="))
+    val epoch = names.map(_.stripPrefix("compact-").takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong).max
+    val gen = names.filter(_.startsWith("compact-"))
+      .map(_.dropWhile(_ != 'g').drop(1)).filter(_.nonEmpty)
+      .map(_.toLong).maxOption.getOrElse(0L) + 1
+    spark.read.parquet(dirs.map(_.toString): _*)
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/batch_id=compact-${epoch}g$gen")
+    dirs.foreach(d => graft.operators.Router.rmrf(d))
+  }
+
   // ---- W3 streaming lifecycle: flatMapGroupsWithState ----
 
   case class LifeEvent(attack_id: Long, is_stop: Boolean, event_utc: String,
@@ -220,14 +262,52 @@ object StreamingPipeline {
     out.iterator
   }
 
+  /** TTL-bounded sessionization: same transitions, but the state arms an
+    * event-time timeout `ttlMs` past the conversation's latest turn and
+    * evicts on expiry — per-conversation state is bounded by the set of
+    * conversations ACTIVE within the TTL horizon, not by stream history
+    * (the property that makes this runnable over 10^12 turns). Pick
+    * `ttlMs` >= the session gap: any turn arriving after its
+    * conversation's eviction is, by construction, more than a gap past the
+    * previous turn, so it provably starts a NEW session and only the dense
+    * per-conv counter restarts — `session_start_us` (the eviction-stable
+    * key) is identical to the unbounded run's. Timeout clamped to
+    * watermark+1 for purely-late batches, same as lifecycleFnTtl.
+    */
+  def sessionizeFnTtl(gapUs: Long, ttlMs: Long)(
+      convId: String, turns: Iterator[SessTurn],
+      state: GroupState[SessState]): Iterator[SessAssign] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val ts = turns.toSeq
+      val out = sessionizeFn(gapUs)(convId, ts.iterator, state)
+      state.setTimeoutTimestamp(math.max(ts.map(_.ts.getTime).max + ttlMs,
+        state.getCurrentWatermarkMs + 1))
+      out
+    }
+  }
+
   def sessionizeStream(spark: SparkSession, transcripts: DataFrame,
-                       gapSec: Long = 3600): Dataset[SessAssign] = {
+                       gapSec: Long = 3600,
+                       stateTtlMs: Option[Long] = None): Dataset[SessAssign] = {
     import spark.implicits._
-    transcripts.select(col("conv_id"), col("turn_idx"), col("ts").cast("timestamp").as("ts"))
+    val turns = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("ts").cast("timestamp").as("ts"))
       .as[SessTurn]
-      .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        sessionizeFn(gapSec * 1000000L))
+    stateTtlMs match {
+      case Some(ttl) =>
+        turns.withWatermark("ts", "0 seconds")
+          .groupByKey(_.conv_id)
+          .flatMapGroupsWithState(OutputMode.Update(),
+            GroupStateTimeout.EventTimeTimeout())(
+            sessionizeFnTtl(gapSec * 1000000L, ttl))
+      case None =>
+        turns.groupByKey(_.conv_id)
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+            sessionizeFn(gapSec * 1000000L))
+    }
   }
 
   /** Streaming exact dedup: drop re-delivered rows by content digest within

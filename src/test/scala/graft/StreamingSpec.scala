@@ -516,4 +516,78 @@ class StreamingSpec extends SparkSpec {
     assert(exact.except(truth).count() == 0 && truth.except(exact).count() == 0)
     graft.operators.Router.rmrf(java.nio.file.Paths.get(stateDir))
   }
+
+  test("pair-state compaction folds batch dirs to one and preserves exact counts") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    def batchDirs() = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+      try {
+        val it = ls.iterator()
+        var v = Vector.empty[String]
+        while (it.hasNext) { val p = it.next(); v :+= p.getFileName.toString }
+        v.filter(_.startsWith("batch_id="))
+      } finally ls.close()
+    }
+    val records = graft.operators.Pipeline.records(spark, dir)
+    val b0 = records.filter(abs(hash(col("conv_id"))) % 2 === 0)
+    val b1 = records.filter(abs(hash(col("conv_id"))) % 2 === 1)
+    StreamingPipeline.exactConvPairsBatch(stateDir)(b0, 0L)
+    StreamingPipeline.exactConvPairsBatch(stateDir)(b1, 1L)
+    val before = StreamingPipeline.exactSinkCounts(spark, stateDir).collect()
+      .map(r => (r.get(0), r.getString(1), r.get(2), r.get(3)) -> r.getLong(4)).toMap
+
+    StreamingPipeline.compactConvPairs(spark, stateDir)
+    assert(batchDirs().size == 1 && batchDirs().head.startsWith("batch_id=compact-"),
+      s"expected one compact dir, saw ${batchDirs()}")
+    val after = StreamingPipeline.exactSinkCounts(spark, stateDir).collect()
+      .map(r => (r.get(0), r.getString(1), r.get(2), r.get(3)) -> r.getLong(4)).toMap
+    assert(after == before, "compaction changed the exact counts")
+
+    // a batch REPLAYED after its dirs were folded (older id than the compact
+    // epoch) must still compact cleanly — the generation suffix keeps the
+    // fold's output path distinct from its inputs
+    StreamingPipeline.exactConvPairsBatch(stateDir)(b0, 0L)
+    StreamingPipeline.compactConvPairs(spark, stateDir)
+    assert(batchDirs().size == 1)
+    val after2 = StreamingPipeline.exactSinkCounts(spark, stateDir).collect()
+      .map(r => (r.get(0), r.getString(1), r.get(2), r.get(3)) -> r.getLong(4)).toMap
+    assert(after2 == before, "post-replay compaction changed the exact counts")
+    graft.operators.Router.rmrf(java.nio.file.Paths.get(stateDir))
+  }
+
+  test("TTL-bounded sessionization evicts idle conversations; session key survives") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val t = input.toDF().toDF("conv_id", "turn_idx", "ts")
+    // TTL == gap (1h): eviction can only drop conversations whose next turn
+    // would have started a new session anyway
+    val q = StreamingPipeline.sessionizeStream(spark, t, gapSec = 3600,
+        stateTtlMs = Some(3600L * 1000))
+      .writeStream.format("memory").queryName("sess_ttl")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(("a", 0, ts("2026-01-01 00:00:00")))
+    q.processAllAvailable()
+    // conv b three hours later advances the watermark past a's TTL; the
+    // next batch gives a's timeout a batch to fire
+    input.addData(("b", 0, ts("2026-01-01 03:00:00")))
+    q.processAllAvailable()
+    input.addData(("b", 1, ts("2026-01-01 03:10:00")))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 1, s"expected only conv b live after eviction, saw $stateRows")
+    // a's post-eviction turn: dense counter restarts (1), but the
+    // eviction-stable session key equals the turn's own event time, exactly
+    // what the unbounded run would assign for a > gap jump
+    input.addData(("a", 1, ts("2026-01-01 03:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val a1 = spark.table("sess_ttl")
+      .filter(col("conv_id") === "a" && col("turn_idx") === 1).collect()(0)
+    assert(a1.getAs[Int]("session_idx") == 1)
+    assert(a1.getAs[Long]("session_start_us") ==
+      ts("2026-01-01 03:20:00").getTime * 1000L)
+  }
 }
