@@ -445,6 +445,19 @@ FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
   private def ivfDsExpr: String =
     graft.operators.IvfModel.centroids.map(ivfD2).mkString("[", ", ", "]")
 
+  /** Squared L2 of the m-th embedding slice to one frozen PQ codeword,
+    * unrolled as the same left-assoc fold SimilarityOps.pqSubDists
+    * evaluates over the identical double literals.
+    */
+  private def pqD2(m: Int, cw: Array[Double]): String =
+    cw.zipWithIndex.map { case (cv, i) =>
+      val t = s"(CAST(embedding[${m * cw.length + i + 1}] AS DOUBLE) - ($cv))"
+      s"$t * $t"
+    }.mkString("(", " + ", ")")
+
+  private def pqDsExpr(m: Int): String =
+    graft.operators.PqModel.codebooks(m).map(pqD2(m, _)).mkString("[", ", ", "]")
+
   /** Shared by q54 (per-source window) and q58 (two-level chunked prefix
     * sum): the two engine plans must agree row-for-row with ONE truth.
     */
@@ -891,6 +904,34 @@ ranked AS (
     round(c, 6) AS cos_sim
   FROM scored)
 SELECT * FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+      // PQ-ADC ANN under the frozen PqModel codebooks: encode = per-subspace
+      // first-index argmin (list_position of list_min, as q45); ADC = the
+      // left-assoc sum of per-subspace LUT lookups (0.0 + l0[c0+1] + ...),
+      // shortlist of 64 by (adc, neighbor_id), exact cosine rerank
+      "q59_pq_ann" -> {
+        val m = graft.operators.PqModel.codebooks.indices
+        val dsCols = m.map(i => s"${pqDsExpr(i)} AS ds$i").mkString(", ")
+        val codeCols = m.map(i =>
+          s"CAST(list_position(ds$i, list_min(ds$i)) - 1 AS INT) AS c$i").mkString(", ")
+        val lutCols = m.map(i => s"ds$i AS l$i").mkString(", ")
+        val adc = m.map(i => s"l$i[c$i + 1]").mkString("(0.0 + ", " + ", ")")
+        s"""
+WITH a AS (SELECT vec_id, embedding, $dsCols FROM embeddings),
+c AS (SELECT vec_id, embedding, $codeCols FROM a),
+q AS (SELECT vec_id AS query_id, embedding AS qv, $lutCols FROM a WHERE vec_id < 10),
+scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.embedding AS ev,
+  $adc AS adc FROM c CROSS JOIN q),
+sl AS (SELECT query_id, qv, neighbor_id, ev FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS sr
+        FROM scored)
+       WHERE sr <= 64),
+ranked AS (SELECT query_id, neighbor_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ${cos("qv", "ev")} DESC, neighbor_id) AS INT) AS rank,
+    round(${cos("qv", "ev")}, 6) AS cos_sim FROM sl)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank"""
+      },
 
       "q29_cos_dups" -> s"""
 WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings)

@@ -275,7 +275,15 @@ object SparkEntry {
     // scale-path upgrade q54's scaladoc documented, now oracle-green
     "q58_mix_two_level" -> ((s, dir) =>
       operators.SampleOps.mixByTokenBudgetTwoLevel(
-        docs(s, dir), operators.SampleOps.defaultBudgets(s)).orderBy("doc_id")))
+        docs(s, dir), operators.SampleOps.defaultBudgets(s)).orderBy("doc_id")),
+    // PQ-ADC ANN serving path: frozen product-quantizer codebooks
+    // (PqModel), compressed-domain candidate scan (32x smaller than raw
+    // vectors), per-query broadcast lookup tables, exact rerank of the
+    // ADC shortlist only — recall vs q27's brute force pinned in
+    // SimilaritySpec
+    "q59_pq_ann" -> ((s, dir) =>
+      operators.SimilarityOps.pqTopK(emb(s, dir), operators.PqModel.codebooks)
+        .orderBy("query_id", "rank")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

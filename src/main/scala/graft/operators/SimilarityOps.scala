@@ -317,6 +317,87 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  // ---- product quantization: compressed-domain ANN + exact rerank ----
+
+  /** Per-subspace squared L2 to every codeword of `books(m)`, as a literal
+    * array over the m-th slice of the vector — the same strict left-fold
+    * arithmetic as d2ToCentroid, so the DuckDB oracle replays it
+    * bit-for-bit.
+    */
+  private def pqSubDists(v: Column, books: Array[Array[Array[Double]]], m: Int): Column = {
+    val subLen = books(m)(0).length
+    array(books(m).map(cw => d2ToCentroid(slice(v, m * subLen + 1, subLen), cw)): _*)
+  }
+
+  /** PQ encode under a frozen codebook (PqModel): per subspace the first
+    * codeword index attaining the minimum distance (array_position of
+    * array_min — the same sequential strict-< argmin as ivfFrozenTopK).
+    * The code table is M small ints per vector — at M=8 over dim=64
+    * floats that is a 32x memory/IO compression (8 bytes vs 256), which is
+    * the entire point at 10^12 vectors: the ANN candidate scan reads CODES,
+    * never raw vectors.
+    */
+  def pqCodes(emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val codeCols = books.indices.map { m =>
+      val ds = pqSubDists(col("embedding"), books, m)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ-ADC ANN with exact rerank — the FAISS-PQ serving shape on Spark:
+    * 1. the corpus is scanned in the COMPRESSED domain only (pqCodes);
+    * 2. each query precomputes its asymmetric-distance lookup table (per
+    *    subspace, d2 from the query's slice to every codeword — M x ks
+    *    doubles) and broadcasts with it;
+    * 3. approximate distance = fixed-order sum of M table lookups per
+    *    code — no per-candidate float vector math at all;
+    * 4. the ADC `shortlist` per query (partial top-k, same bounded-heap
+    *    narrow reduction as every ANN path here) is then reranked EXACTLY
+    *    by an id-keyed join back to the raw vectors — only shortlist-many
+    *    vectors per query are ever fetched.
+    *
+    * At 100 TB: codes are 32x smaller than vectors, the scan is map-only
+    * against a broadcast LUT, and raw-vector IO is bounded by
+    * nQueries x shortlist point lookups (Iceberg/parquet bloom or id
+    * partition). Composes with the IVF cell partitioning (scan only probed
+    * cells' codes). Every stage is deterministic (fixed fold order, ties
+    * by neighbor_id), so the full pipeline has a bit-exact DuckDB oracle
+    * (q59); recall vs exact brute force is pinned in SimilaritySpec.
+    */
+  def pqTopK(emb: DataFrame, books: Array[Array[Array[Double]]],
+             nQueries: Int = 10, k: Int = 3, shortlist: Int = 64): DataFrame = {
+    val codes = pqCodes(emb, books)
+    val lut = array(books.indices.map(m => pqSubDists(col("embedding"), books, m)): _*)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), lut.as("lut"))
+    // ADC: ((0.0 + l0[c0]) + l1[c1]) + ... — the left-assoc chain the
+    // oracle writes out verbatim
+    val adc = books.indices
+      .map(m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"),
+        adc.as("adc_d2"))
+    val short = localTopKPerKey(scored.withColumn("_nadc", -col("adc_d2")),
+      "query_id", "_nadc", "neighbor_id", shortlist)
+    val ws = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    val sl = short.withColumn("_sr", row_number().over(ws))
+      .filter(col("_sr") <= shortlist)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val reranked = sl
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    // the rerank set is nQueries x shortlist — already bounded, so a plain
+    // rank window (WindowGroupLimit prunes it) replaces the heap pass
+    val wr = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding near-dup CLUSTERS: connected components over the
     * cosineDupPairs candidate graph — the semantic-dedup complement of the
     * shingle-based dupClusters (q32). Same resolution machinery

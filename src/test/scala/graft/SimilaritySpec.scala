@@ -111,6 +111,50 @@ class SimilaritySpec extends SparkSpec {
       s"expected exactly the partial-top-k MapPartitions, found $nMapPartitions:\n${plan.take(2000)}")
   }
 
+  test("PQ-ADC serving path (q59): well-formed codes, shortlist-rerank recall vs exact") {
+    // the VERIFY corpus — the frozen PqModel codebooks were trained on it
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(8)
+
+    // every vector encodes to M=8 codes, each inside its ks=8 codebook
+    val codes = SimilarityOps.pqCodes(emb, operators.PqModel.codebooks)
+    val bad = codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad == 0, "malformed PQ codes")
+    // quantization is non-trivial: many distinct code words in use
+    assert(codes.select(col("codes")).distinct().count() > 50)
+
+    val k = 3
+    val brute = SimilarityOps.bruteTopK(emb, nQueries = 10, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // shortlist sweep on the record: near-random synthetic embeddings are
+    // PQ's worst case (no cluster structure to quantize), so the shortlist
+    // carries the recall; the q59 default (64) must clear 0.85
+    val sweep = Seq(12, 24, 48, 64).map { sl =>
+      val pq = SimilarityOps.pqTopK(emb, operators.PqModel.codebooks,
+          nQueries = 10, k = k, shortlist = sl)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recalls = brute.map { case (q, exact) =>
+        pq.get(q).map(a => (a intersect exact).size.toDouble / exact.size).getOrElse(0.0)
+      }
+      val mean = recalls.sum / recalls.size
+      info(f"mean recall@$k of PQ-ADC (M=8, ks=8, shortlist=$sl) vs exact: $mean%.2f")
+      sl -> mean
+    }.toMap
+    assert(sweep(64) >= 0.85, f"PQ recall at the q59 shortlist regressed: ${sweep(64)}%.2f")
+    // monotone in shortlist (rerank is exact, so a longer shortlist can
+    // only help)
+    assert(sweep(12) <= sweep(48) + 1e-9 && sweep(48) <= sweep(64) + 1e-9)
+
+    // serving is pure Catalyst + the one bounded shortlist heap
+    val plan = SimilarityOps.pqTopK(emb, operators.PqModel.codebooks)
+      .queryExecution.executedPlan.toString()
+    val nMapPartitions = "MapPartitions".r.findAllIn(plan).size
+    assert(nMapPartitions == 1,
+      s"expected exactly the shortlist MapPartitions, found $nMapPartitions:\n${plan.take(2000)}")
+  }
+
   test("top-k physical plan: rank window sees only the bounded partial top-k, not the scored set") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
     val k = 4
