@@ -480,6 +480,31 @@ FROM c JOIN b USING (source)
 WHERE c.prev_cum < b.token_budget
 ORDER BY c.doc_id"""
 
+  /** Temperature-scaled (alpha=0.5) mix: budgets derived from per-source
+    * token totals via INTEGER square-root weights — floor(sqrt(bigint)) is
+    * exact in both engines, and everything downstream (normalizer sum,
+    * scaling, floor division) is pure integer arithmetic, so the budget
+    * derivation is bit-equal without any float accumulation.
+    */
+  private def mixTemperatureSql: String = """
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ((doc_id % 999983) * 2654435761) % 999983 AS mix_key
+  FROM documents),
+ps AS (SELECT source, SUM(n_tokens) AS src_tok FROM s GROUP BY 1),
+wg AS (SELECT source, CAST(floor(sqrt(CAST(src_tok AS DOUBLE))) AS BIGINT) AS wgt FROM ps),
+b AS (SELECT source, (20000 * wgt) // (SELECT SUM(wgt) FROM wg) AS token_budget FROM wg),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_key, doc_id) - n_tokens AS prev_cum
+  FROM s)
+SELECT c.doc_id, c.source, c.n_tokens, CAST(c.prev_cum AS BIGINT) AS prefix_tokens,
+  CAST(b.token_budget AS BIGINT) AS token_budget
+FROM c JOIN b USING (source)
+WHERE c.prev_cum < b.token_budget
+ORDER BY c.doc_id"""
+
   lazy val dataOpsSql: Map[String, String] = {
     val minhashCols = graft.operators.DedupOps.minhashParams(16).zipWithIndex.map {
       case ((a, b), i) =>
@@ -742,6 +767,9 @@ ORDER BY score DESC, doc_id LIMIT 20""",
       // oracle, two plans (the equality is the point — the chunked prefix
       // sum must not change a single row)
       "q58_mix_two_level" -> mixBudgetSql,
+      // temperature-scaled mixing: corpus-derived isqrt budgets + the same
+      // prefix predicate
+      "q60_mix_temperature" -> mixTemperatureSql,
 
       "q42_pack_sequences" -> """
 WITH s AS (

@@ -283,7 +283,12 @@ object SparkEntry {
     // SimilaritySpec
     "q59_pq_ann" -> ((s, dir) =>
       operators.SimilarityOps.pqTopK(emb(s, dir), operators.PqModel.codebooks)
-        .orderBy("query_id", "rank")))
+        .orderBy("query_id", "rank")),
+    // temperature-scaled mixing (alpha=0.5): per-source budgets DERIVED
+    // from the corpus via integer-sqrt weights (exact cross-engine
+    // arithmetic), then the same deterministic prefix mix as q54
+    "q60_mix_temperature" -> ((s, dir) =>
+      operators.SampleOps.mixByTemperature(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

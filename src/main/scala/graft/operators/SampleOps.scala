@@ -182,6 +182,46 @@ object SampleOps {
         col("_prev_cum").as("prefix_tokens"))
   }
 
+  /** TEMPERATURE-scaled source mixing (alpha = 0.5): derive each source's
+    * token budget from the corpus itself as
+    * `budget_s = floor(total * w_s / sum(w))` with `w_s = isqrt(tokens_s)`
+    * — the standard alpha-sampling rebalance (dominant sources are
+    * downweighted toward sqrt of their share, tail sources upweighted),
+    * then take each source's deterministic pseudo-shuffled prefix exactly
+    * as mixByTokenBudget does.
+    *
+    * The weights are INTEGER square roots, deliberately: sqrt of a bigint
+    * is correctly rounded IEEE in both engines, its floor is exact, and
+    * from there the normalizer sum, the scaling and the division are pure
+    * integer arithmetic — order-independent and bit-equal cross-engine,
+    * where a float-weight normalizer would hang the oracle on the
+    * engines' float-summation association order. The quantization error
+    * vs true sqrt is < 1 part in isqrt(tokens_s) — noise at corpus scale.
+    *
+    * Scale shape: ONE narrow (id, source, tokens, key) projection feeds
+    * both the S-row budget aggregate (broadcast back) and the prefix
+    * window — text is scanned once and never shuffles; everything after
+    * the projection is the q54 plan plus one tiny agg.
+    */
+  def mixByTemperature(docs: DataFrame, totalBudget: Long = 20000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("_mix_key", "doc_id")
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    val keyed = docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+      pmod(pmod(col("doc_id"), lit(999983L)) * lit(2654435761L), lit(999983L)).as("_mix_key"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val budgets = keyed.groupBy("source").agg(sum(col("n_tokens")).as("_src_tok"))
+      .withColumn("_wgt", floor(sqrt(col("_src_tok").cast("double"))).cast("long"))
+      .withColumn("_tot", sum(col("_wgt")).over(wAll))
+      .withColumn("token_budget", expr(s"($totalBudget * _wgt) div _tot"))
+      .select(col("source"), col("token_budget"))
+    keyed
+      .withColumn("_prev_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("_prev_cum") < col("token_budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("_prev_cum").as("prefix_tokens"), col("token_budget"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")

@@ -136,6 +136,47 @@ class SampleSpec extends SparkSpec {
       s"text shuffles into the mix window: ${win.child.output.map(_.name)}")
   }
 
+  test("temperature mix: budgets sum to the total, flatten source skew, derive exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val total = 2000L
+    val mix = SampleOps.mixByTemperature(docs, total)
+    val rows = mix.collect()
+    assert(rows.nonEmpty)
+    val budgetBySrc = rows.map(r => r.getString(1) -> r.getAs[Long]("token_budget")).toMap
+
+    // floor division loses < 1 token per source: the derived budgets sum
+    // into (total - S, total]
+    val sumB = budgetBySrc.values.sum
+    assert(sumB <= total && sumB > total - budgetBySrc.size,
+      s"budget sum $sumB vs total $total over ${budgetBySrc.size} sources")
+
+    // alpha=0.5 FLATTENS: between any two sources the budget ratio must sit
+    // strictly inside the raw token-share ratio (sqrt compresses spread)
+    val tokBySrc = docs.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (loSrc, hiSrc) = (tokBySrc.minBy(_._2)._1, tokBySrc.maxBy(_._2)._1)
+    if (tokBySrc(hiSrc) > tokBySrc(loSrc) && budgetBySrc.contains(hiSrc) &&
+        budgetBySrc.contains(loSrc)) {
+      val rawRatio = tokBySrc(hiSrc).toDouble / tokBySrc(loSrc)
+      val budRatio = budgetBySrc(hiSrc).toDouble / budgetBySrc(loSrc)
+      assert(budRatio < rawRatio,
+        s"temperature failed to flatten: budgets $budRatio vs raw $rawRatio")
+    }
+
+    // exact integer derivation: budget_s == (total * isqrt(tok_s)) div sum(isqrt)
+    val wgt = tokBySrc.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val wTot = wgt.values.sum
+    budgetBySrc.foreach { case (s, b) =>
+      assert(b == total * wgt(s) / wTot, s"$s budget $b != derived")
+    }
+
+    // retry-stable, like every sampler here
+    val again = SampleOps.mixByTemperature(docs, total)
+    assert(mix.except(again).count() == 0 && again.except(mix).count() == 0)
+  }
+
   test("vocab top-k counts globally, breaks ties by token, plans as TakeOrdered") {
     val docs = Seq(
       (1L, "b b b a a c"),
