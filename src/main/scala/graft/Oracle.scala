@@ -420,6 +420,19 @@ FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
          ELSE list_distinct(list_transform(range(1, len($sigsExpr) - 1),
            i -> ($sigsExpr[i] * 17161 + $sigsExpr[i+1] * 131 + $sigsExpr[i+2]) % 1000000007)) END"""
 
+  /** Positional (non-distinct) 3-gram codes + the winnowing selection
+    * (window-of-4 minima) — mirror DedupOps.kgramCodesFrom/winnowFingerprints.
+    */
+  private def kgramsExpr: String = s"""
+    CASE WHEN len($sigsExpr) < 3 THEN CAST([] AS BIGINT[])
+         ELSE list_transform(range(1, len($sigsExpr) - 1),
+           i -> ($sigsExpr[i] * 17161 + $sigsExpr[i+1] * 131 + $sigsExpr[i+2]) % 1000000007) END"""
+  private def winnowExpr: String = s"""
+    CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(kg) < 4 THEN [list_min(kg)]
+         ELSE list_distinct(list_transform(range(1, len(kg) - 2),
+           j -> list_min(kg[j:j+3]))) END"""
+
   private def dotExpr: String =
     "list_reduce(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
   private def dot(a: String, b: String) = dotExpr.format(a, b)
@@ -629,6 +642,58 @@ FROM pairs
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+ORDER BY doc_a, doc_b""",
+
+      // winnowing fingerprint index (SIGMOD'03 window-minima selection over
+      // positional 3-gram hashes, w=4) — the exploded (doc_id, fp) index
+      "q61_winnow_fp" -> s"""
+WITH base AS (SELECT doc_id, $kgramsExpr AS kg FROM documents),
+fps AS (SELECT doc_id, $winnowExpr AS fp FROM base)
+SELECT doc_id, unnest(fp) AS fp FROM fps
+ORDER BY doc_id, fp""",
+
+      // containment detection over the winnowed fingerprints: directed
+      // pairs where |FP(a) n FP(b)| / |FP(a)| >= 0.5 — the asymmetric
+      // complement of q25 (a short doc pasted inside a longer one scores
+      // ~1.0 here while its symmetric jaccard stays tiny)
+      "q62_containment" -> s"""
+WITH base AS (SELECT doc_id, $kgramsExpr AS kg FROM documents),
+fps AS (SELECT doc_id, $winnowExpr AS fp FROM base),
+idx AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM idx GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter, sa.n_fp AS n_a, sb.n_fp AS n_b,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n_fp AS DOUBLE) AS containment
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_fp AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b""",
+
+      // the CAPPED containment configuration — fingerprints with doc
+      // frequency > 8 (boilerplate) dropped before the self-join; cap 8 <
+      // the max observed fp doc-frequency at sf0.01 (18), so the cap
+      // ACTIVATES and the oracle checks the preconditioned semantics
+      "q63_containment_capped" -> s"""
+WITH base AS (SELECT doc_id, $kgramsExpr AS kg FROM documents),
+fps AS (SELECT doc_id, $winnowExpr AS fp FROM base),
+idx0 AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+hot AS (SELECT fp FROM idx0 GROUP BY 1 HAVING count(*) > 8),
+idx AS (SELECT doc_id, fp FROM idx0 WHERE fp NOT IN (SELECT fp FROM hot)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM idx GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter, sa.n_fp AS n_a, sb.n_fp AS n_b,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n_fp AS DOUBLE) AS containment
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_fp AS DOUBLE) >= 0.5
 ORDER BY doc_a, doc_b""",
 
       "q26_minhash_lsh" -> s"""

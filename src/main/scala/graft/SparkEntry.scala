@@ -288,7 +288,23 @@ object SparkEntry {
     // from the corpus via integer-sqrt weights (exact cross-engine
     // arithmetic), then the same deterministic prefix mix as q54
     "q60_mix_temperature" -> ((s, dir) =>
-      operators.SampleOps.mixByTemperature(docs(s, dir)).orderBy("doc_id")))
+      operators.SampleOps.mixByTemperature(docs(s, dir)).orderBy("doc_id")),
+    // winnowing fingerprint index (SIGMOD'03 window-minima, w=4): the
+    // ~2/(w+1)-density replacement for the full shingle index
+    "q61_winnow_fp" -> ((s, dir) =>
+      operators.DedupOps.winnowFingerprints(docs(s, dir)).orderBy("doc_id", "fp")),
+    // containment detection (Broder's coefficient over winnowed
+    // fingerprints): the ASYMMETRIC near-dup complement of q25 — catches a
+    // doc embedded inside a longer one. Oracle contract = UNCAPPED; the
+    // boilerplate-fingerprint cap is the scale path, q63 below
+    "q62_containment" -> ((s, dir) =>
+      operators.DedupOps.containmentPairs(docs(s, dir), 0.5,
+        maxFpDocFreq = Int.MaxValue).orderBy("doc_a", "doc_b")),
+    // the CAPPED configuration — cap 8 ACTIVATES at sf0.01 (max observed
+    // fp doc-frequency 18), so the preconditioned semantics are oracle-green
+    "q63_containment_capped" -> ((s, dir) =>
+      operators.DedupOps.containmentPairs(docs(s, dir), 0.5,
+        maxFpDocFreq = 8).orderBy("doc_a", "doc_b")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

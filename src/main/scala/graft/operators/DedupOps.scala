@@ -141,6 +141,101 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Positional word-3-gram codes: the same polynomial as shingleCodes but
+    * WITHOUT the distinct — winnowing needs the positional hash sequence,
+    * because its guarantee is stated over consecutive windows.
+    */
+  private def kgramCodesFrom(sigs: Column): Column =
+    when(size(sigs) < 3, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), size(sigs) - 2), i =>
+        pmod(element_at(sigs, i) * lit(131L * 131L)
+          + element_at(sigs, i + 1) * lit(131L)
+          + element_at(sigs, i + 2), lit(P))))
+
+  /** Winnowing fingerprint index (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * scheme): slide a window of `w` consecutive k-gram hashes over the
+    * document and select each window's MINIMUM; the distinct selected
+    * values are the document's fingerprints.
+    *
+    * Why this beats the full shingle index at 100 TB: the guarantee is
+    * positional — any shared token run of length >= w+k-1 contributes at
+    * least one common fingerprint — while the expected index density is
+    * 2/(w+1) of the k-gram count, so the inverted index (the thing that
+    * shuffles) is ~2.5x smaller at w=4 with NO loss on matches longer
+    * than the noise threshold. Selection here is by window minimum VALUE
+    * (robust winnowing's set semantics): deterministic, order-insensitive
+    * within the window, and exactly reproducible by the DuckDB oracle.
+    *
+    * Plan shape mirrors shingleIndex: `_k` lands in its own projection so
+    * the w slice references per window share one evaluation (CollapseProject
+    * keeps multi-referenced non-cheap aliases materialized), and the
+    * explode is the outer+isNotNull form that keeps the expression tree out
+    * of the parquet scan's DataFilter. Per-row cost is O(tokens * w).
+    *
+    * Documents shorter than one full window (0 < k-grams < w) winnow to the
+    * single global minimum — the SIGMOD'03 degenerate case.
+    */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
+    docs
+      .withColumn("_sigs", transform(tokens(col("text")), tokenSig(_)))
+      .withColumn("_k", kgramCodesFrom(col("_sigs")))
+      .withColumn("_fps",
+        when(size(col("_k")) === 0, array().cast("array<bigint>"))
+          .when(size(col("_k")) < w, array(array_min(col("_k"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(col("_k")) - (w - 1)), j =>
+              array_min(slice(col("_k"), j, lit(w)))))))
+      .select(col("doc_id"), explode_outer(col("_fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+
+  /** Containment detection over winnowing fingerprints: directed pairs
+    * (doc_a, doc_b) where containment(a in b) = |FP(a) n FP(b)| / |FP(a)|
+    * >= `threshold`. The ASYMMETRIC complement of jaccardPairs: a short
+    * document pasted inside a longer one (quote extraction, boilerplate
+    * wrapping, article + comment thread) scores near 1.0 here while its
+    * symmetric Jaccard — diluted by the longer doc's size — stays far below
+    * any near-dup threshold. Broder's containment coefficient over the
+    * winnowed fingerprint space.
+    *
+    * Scale shape: identical skeleton to jaccardPairs — the fingerprint
+    * index is computed once and persisted, hot fingerprints (doc frequency
+    * > `maxFpDocFreq`, boilerplate by definition) are dropped by broadcast
+    * anti-join BEFORE the self-join so per-fingerprint fan-out is bounded
+    * by maxFpDocFreq^2, sizes are a narrow agg, and only (long, long) id
+    * pairs ever shuffle. The winnowed index is ~2/(w+1) the size of the
+    * full shingle index, so the whole candidate stage is proportionally
+    * cheaper than q25's at the same corpus.
+    *
+    * Emits BOTH directions when both clear the threshold (a in b, b in a
+    * — i.e. near-identical docs), which is exactly the degenerate case
+    * symmetric dedup already catches; the asymmetric hits are the new
+    * information.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8, w: Int = 4,
+                       maxFpDocFreq: Int = 500): DataFrame = {
+    val idx = Intermediates.persist(winnowFingerprints(docs, w))
+    val capped =
+      if (maxFpDocFreq == Int.MaxValue) idx
+      else {
+        val hot = idx.groupBy("fp").agg(count("*").as("_df"))
+          .filter(col("_df") > maxFpDocFreq).select("fp")
+        idx.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
+    val sizes = capped.groupBy("doc_id").agg(count("*").as("n_fp"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "n_b"), "doc_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "containment")
+  }
+
   /** Benchmark decontamination: flag training documents whose shingle
     * overlap with a benchmark/eval set exceeds `threshold` — the standard
     * n-gram contamination check a training pipeline runs so eval data never

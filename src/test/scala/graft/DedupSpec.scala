@@ -257,4 +257,53 @@ class DedupSpec extends SparkSpec {
     assert(clusters == Seq((10L, 10L), (11L, 10L), (12L, 10L),
       (13L, 13L), (14L, 14L), (15L, 15L)))
   }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint; density ~2/(w+1)") {
+    // w=4, k=3: any shared run of >= 6 tokens must contribute >= 1 common
+    // fingerprint (SIGMOD'03 correctness property, stated over windows)
+    val shared = "quick brown foxes jump over lazy"
+    val docs = Seq(
+      (0L, s"aa bb cc $shared dd ee ff"),
+      (1L, s"xx yy $shared zz ww"),
+      (2L, "completely unrelated token material stands here alone"),
+      (3L, "tiny doc"), // < k tokens: no k-grams -> no fingerprints
+      (4L, "just four small words")) // 2 k-grams < w: single-min degenerate case
+      .toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps(0L).intersect(fps(1L)).nonEmpty, "shared 6-token run produced no common fingerprint")
+    assert(fps.get(3L).isEmpty)
+    assert(fps(4L).size == 1, "sub-window doc must winnow to the single global min")
+    // winnowed density on the real corpus: ~2/(w+1) of the k-gram count —
+    // the index-size reduction that is winnowing's reason to exist
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val nFp = DedupOps.winnowFingerprints(corpus).count().toDouble
+    val nSh = DedupOps.shingleIndex(corpus).count().toDouble
+    assert(nFp / nSh > 0.25 && nFp / nSh < 0.55, s"winnow density ${nFp / nSh} out of expected band")
+  }
+
+  test("containment is asymmetric: an embedded doc scores ~1 forward, low backward; cap drops boilerplate fps") {
+    val quote = "one two three four five six seven eight nine ten"
+    val container = s"intro words here $quote closing remarks follow now and more trailing padding tokens arrive"
+    val docs = Seq(
+      (0L, quote),                    // fully contained in 1
+      (1L, container),
+      (2L, "unrelated corpus filler material goes here instead"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.containmentPairs(docs, 0.5, maxFpDocFreq = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    // forward direction: every fingerprint of the quote also winnows out of
+    // the container... not guaranteed exactly 1.0 (window minima differ near
+    // the splice boundaries), but must clear the 0.5 threshold decisively
+    assert(pairs.contains((0L, 1L)), s"embedded doc not detected: $pairs")
+    assert(pairs((0L, 1L)) >= 0.5)
+    // backward direction: the container is NOT contained in the quote
+    assert(!pairs.contains((1L, 0L)), "containment must be asymmetric")
+    // capping: a fingerprint present in > cap docs is dropped from the index
+    val many = (10L until 20L).map(i => (i, s"boiler plate repeated header tokens $i"))
+    val docs2 = (many :+ (30L, "boiler plate repeated header tokens closing")).toDF("doc_id", "text")
+    val capped = DedupOps.containmentPairs(docs2, 0.3, maxFpDocFreq = 5).count()
+    val uncapped = DedupOps.containmentPairs(docs2, 0.3, maxFpDocFreq = Int.MaxValue).count()
+    assert(capped < uncapped, "cap must drop boilerplate-fingerprint candidates")
+  }
 }
