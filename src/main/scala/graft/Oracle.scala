@@ -644,6 +644,35 @@ JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
 ORDER BY doc_a, doc_b""",
 
+      // incremental delta-vs-corpus dedup: delta docs (doc_id%10==0)
+      // matched one-sidedly against the frozen corpus — exact by text
+      // identity (the engine keys on md5; null-free corpus makes text
+      // grouping equivalent), near by shingle jaccard >= 0.12
+      "q65_incr_dedup" -> s"""
+WITH corp AS (SELECT min(doc_id) AS exact_keeper, text FROM documents
+              WHERE doc_id % 10 <> 0 GROUP BY text),
+delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+ex AS (SELECT d.doc_id, c.exact_keeper FROM delta d
+       LEFT JOIN corp c ON d.text = c.text),
+base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+idx AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY 1),
+pairs AS (
+  SELECT d.doc_id AS doc_id, c.doc_id AS corpus_id, count(*) AS n_inter
+  FROM idx d JOIN idx c ON d.shingle = c.shingle
+  WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+  GROUP BY 1, 2),
+near AS (
+  SELECT p.doc_id, MIN(p.corpus_id) AS near_keeper FROM pairs p
+  JOIN sz sd ON sd.doc_id = p.doc_id
+  JOIN sz sc ON sc.doc_id = p.corpus_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sd.n_sh + sc.n_sh - n_inter AS DOUBLE) >= 0.12
+  GROUP BY 1)
+SELECT ex.doc_id, ex.exact_keeper, near.near_keeper,
+  (ex.exact_keeper IS NULL AND near.near_keeper IS NULL) AS is_new
+FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+ORDER BY ex.doc_id""",
+
       // winnowing fingerprint index (SIGMOD'03 window-minima selection over
       // positional 3-gram hashes, w=4) — the exploded (doc_id, fp) index
       "q61_winnow_fp" -> s"""
@@ -1025,6 +1054,19 @@ ranked AS (SELECT query_id, neighbor_id,
 SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
 ORDER BY query_id, rank"""
       },
+
+      // cluster-balanced semantic sampling: frozen-IVF assignment (same
+      // first-index argmin as q45) + deterministic mix-key prefix per cell
+      "q64_cell_sample" -> s"""
+WITH a AS (SELECT vec_id, $ivfDsExpr AS ds FROM embeddings),
+asg AS (SELECT vec_id, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cid FROM a),
+keyed AS (SELECT vec_id, cid,
+  ((vec_id % 999983) * 2654435761) % 999983 AS mk FROM asg),
+r AS (SELECT vec_id, cid,
+  CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY mk, vec_id) AS INT) AS cell_rank
+  FROM keyed)
+SELECT vec_id, cid, cell_rank FROM r WHERE cell_rank <= 40
+ORDER BY vec_id""",
 
       "q29_cos_dups" -> s"""
 WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings)

@@ -304,7 +304,19 @@ object SparkEntry {
     // fp doc-frequency 18), so the preconditioned semantics are oracle-green
     "q63_containment_capped" -> ((s, dir) =>
       operators.DedupOps.containmentPairs(docs(s, dir), 0.5,
-        maxFpDocFreq = 8).orderBy("doc_a", "doc_b")))
+        maxFpDocFreq = 8).orderBy("doc_a", "doc_b")),
+    // cluster-balanced semantic sampling: frozen-IVF cell assignment + a
+    // deterministic hash-ordered prefix of <= perCell vectors per cell
+    // (flattens semantic-mode imbalance; perCell=40 TRUNCATES every cell
+    // at sf0.01 — occupancies run 53-74 — so the budget is ACTIVE)
+    "q64_cell_sample" -> ((s, dir) =>
+      operators.SimilarityOps.cellBalancedSample(emb(s, dir), operators.IvfModel.centroids)
+        .orderBy("vec_id")),
+    // incremental delta-vs-corpus dedup (the daily-ingest shape): delta =
+    // doc_id%10==0, one-sided exact digest + shingle-jaccard match against
+    // the frozen corpus only — corpus-internal pairs never generated
+    "q65_incr_dedup" -> ((s, dir) =>
+      operators.DedupOps.incrementalDedup(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

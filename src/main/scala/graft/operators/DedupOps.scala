@@ -268,6 +268,66 @@ object DedupOps {
       .withColumn("is_contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Incremental (delta-vs-corpus) dedup — the daily-ingest shape: dedup a
+    * new batch against an already-curated frozen corpus WITHOUT touching
+    * corpus-internal pairs. `corpusPred` marks the frozen side; everything
+    * else is the delta. Per delta document:
+    *
+    *   - `exact_keeper`:  min corpus doc_id with byte-identical text
+    *     (digest-keyed, the exactDups contract), null if none;
+    *   - `near_keeper`:   min corpus doc_id whose shingle Jaccard with the
+    *     delta doc clears `threshold`, null if none;
+    *   - `is_new`:        neither matched — the doc enters the corpus.
+    *
+    * Why a dedicated operator instead of re-running jaccardPairs over
+    * corpus+delta: at 100 TB the corpus index is a PRECOMPUTED bucketed
+    * artifact (the materialized shingle index every round of ingestion
+    * reuses), and the join is one-sided — candidate pairs are
+    * delta x corpus only, so the fan-out per shingle is df_delta * df_corpus
+    * instead of (df_delta + df_corpus)^2, and corpus-internal pairs (the
+    * quadratic bulk, already resolved in previous rounds) are never
+    * generated. With the corpus side bucketed by shingle, only the delta
+    * index shuffles. The same `maxShingleDocFreq` stop-shingle cap applies
+    * before the join (jaccardPairs' preconditioning; sizes are computed
+    * over the capped space on both sides so the ratio is consistent).
+    */
+  def incrementalDedup(docs: DataFrame,
+                       corpusPred: Column = pmod(col("doc_id"), lit(10)) =!= 0,
+                       threshold: Double = 0.12,
+                       maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val digest = coalesce(md5(col("text").cast("binary")), lit("NULL"))
+    val corpusDig = docs.filter(corpusPred)
+      .select(digest.as("_digest"), col("doc_id"))
+      .groupBy("_digest").agg(min("doc_id").as("exact_keeper"))
+    val deltaDig = docs.filter(!corpusPred).select(col("doc_id"), digest.as("_digest"))
+    val exact = deltaDig.join(corpusDig, Seq("_digest"), "left")
+      .select("doc_id", "exact_keeper")
+
+    val idx0 = Intermediates.persist(shingleIndex(docs))
+    val idx =
+      if (maxShingleDocFreq == Int.MaxValue) idx0
+      else {
+        val hot = idx0.groupBy("shingle").agg(count("*").as("_df"))
+          .filter(col("_df") > maxShingleDocFreq).select("shingle")
+        idx0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val corpusIdx = idx.filter(corpusPred)
+    val deltaIdx = idx.filter(!corpusPred)
+    val sizes = idx.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val near = deltaIdx.as("d").join(corpusIdx.as("c"), col("d.shingle") === col("c.shingle"))
+      .groupBy(col("d.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"))
+      .agg(count("*").as("n_inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_d")), "doc_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_c")), "corpus_id")
+      .filter(col("n_inter").cast("double") /
+        (col("n_d") + col("n_c") - col("n_inter")).cast("double") >= threshold)
+      .groupBy("doc_id").agg(min("corpus_id").as("near_keeper"))
+
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_keeper"), col("near_keeper"),
+        (col("exact_keeper").isNull && col("near_keeper").isNull).as("is_new"))
+  }
+
   /** The end of the dedup story: materialize the CLEAN corpus. One keeper
     * per near-dup cluster — the minimum doc_id, the same deterministic
     * keep-rule as exactDups — annotated with its cluster size so downstream

@@ -317,6 +317,45 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Cluster-balanced semantic sampling: assign every vector to its frozen
+    * IVF cell (same first-index argmin as the serving path), then keep a
+    * deterministic hash-ordered prefix of at most `perCell` vectors per
+    * cell. The diversity-preserving downsample a training pipeline runs
+    * after semantic dedup: uniform hash sampling keeps the corpus's cluster
+    * imbalance (a dominant semantic mode stays dominant), per-cell budgets
+    * flatten it — the SemDeDup/cluster-balancing curation step.
+    *
+    * Deterministic and retry-stable by the same mix-key arithmetic as q54
+    * (id reduced mod 999983 BEFORE the multiply, so the key is exact int64
+    * cross-engine); membership depends only on (vec_id, cell census), never
+    * on partitioning or RNG state.
+    *
+    * Scale shape: assignment is one narrow codegen'd map (centroid model is
+    * k x dim literals); the per-cell prefix uses the bounded-heap partial
+    * top-k (localTopKPerKey) — each task keeps <= perCell rows per cell, so
+    * the only shuffle is the k * perCell survivor set, NOT a full per-cell
+    * sort. A dominant cell costs O(perCell) state per task regardless of
+    * its corpus share.
+    */
+  def cellBalancedSample(emb: DataFrame, cents: Array[Array[Double]],
+                         perCell: Int = 40): DataFrame = {
+    def ds(v: Column): Column = array(cents.map(c => d2ToCentroid(v, c)): _*)
+    val assigned = emb
+      .withColumn("_ds", ds(col("embedding")))
+      .select(col("vec_id"),
+        (array_position(col("_ds"), array_min(col("_ds"))) - 1).cast("int").as("cid"))
+      .withColumn("_mix_key",
+        pmod(pmod(col("vec_id"), lit(999983L)) * lit(2654435761L), lit(999983L)))
+      // negated key as the "score": localTopKPerKey keeps the k HIGHEST
+      // scores, we want the k smallest mix keys (ties: smallest vec_id)
+      .withColumn("_score", -col("_mix_key").cast("double"))
+    val local = localTopKPerKey(assigned, "cid", "_score", "vec_id", perCell)
+    val w = Window.partitionBy("cid").orderBy(col("_mix_key"), col("vec_id"))
+    local.withColumn("cell_rank", row_number().over(w).cast("int"))
+      .filter(col("cell_rank") <= perCell)
+      .select("vec_id", "cid", "cell_rank")
+  }
+
   // ---- product quantization: compressed-domain ANN + exact rerank ----
 
   /** Per-subspace squared L2 to every codeword of `books(m)`, as a literal

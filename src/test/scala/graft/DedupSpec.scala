@@ -306,4 +306,25 @@ class DedupSpec extends SparkSpec {
     val uncapped = DedupOps.containmentPairs(docs2, 0.3, maxFpDocFreq = Int.MaxValue).count()
     assert(capped < uncapped, "cap must drop boilerplate-fingerprint candidates")
   }
+
+  test("incremental dedup: exact byte-dup of corpus resolves by digest; corpus-internal pairs never emitted") {
+    // the sf corpora hold no byte-identical pairs, so the exact_keeper
+    // path is pinned here (the oracle row only sees it as all-null)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // corpus
+      (2L, "totally different corpus text right here"), // corpus
+      (9L, "alpha beta gamma delta epsilon zeta eta"),  // corpus, near 1
+      (10L, "alpha beta gamma delta epsilon zeta"),  // delta: exact dup of 1
+      (20L, "alpha beta gamma delta epsilon QQ"),    // delta: near-dup of 1/9
+      (30L, "wholly novel delta content never seen")) // delta: new
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(docs, threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(10L, 20L, 30L), "output must cover exactly the delta")
+    assert(out(10L)._1.contains(1L), s"exact dup must key to min corpus doc: ${out(10L)}")
+    assert(out(10L)._3 == false)
+    assert(out(20L)._1.isEmpty && out(20L)._2.contains(1L), s"near dup -> min corpus keeper: ${out(20L)}")
+    assert(out(30L) == (None, None, true))
+  }
 }

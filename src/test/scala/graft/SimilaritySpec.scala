@@ -272,4 +272,26 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
     }
   }
+
+  test("cell-balanced sample: per-cell budget enforced, deterministic across runs, partial top-k plan") {
+    import graft.operators.IvfModel
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
+    val out = SimilarityOps.cellBalancedSample(emb, IvfModel.centroids, perCell = 10)
+    val byCell = out.groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every cell capped at the budget; ranks within a cell are 1..n dense
+    byCell.values.foreach(n => assert(n <= 10))
+    val ranks = out.collect().groupBy(_.getInt(1))
+      .view.mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    ranks.foreach { case (cid, rs) => assert(rs == (1 to rs.size), s"cell $cid ranks not dense: $rs") }
+    // retry-stability: a second invocation over a re-shuffled input selects
+    // the SAME vectors with the same ranks (hash order, not partition order)
+    val again = SimilarityOps.cellBalancedSample(emb.repartition(3), IvfModel.centroids, perCell = 10)
+    assert(out.orderBy("vec_id").collect().toSeq == again.orderBy("vec_id").collect().toSeq)
+    // the scored set reaches the rank window only through the bounded
+    // partial top-k (same contract as the ANN paths): the window's input
+    // must be the mapPartitions survivor set, not the full assignment
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"expected bounded-heap partial top-k in plan:\n$plan")
+  }
 }
