@@ -673,6 +673,42 @@ SELECT ex.doc_id, ex.exact_keeper, near.near_keeper,
 FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
 ORDER BY ex.doc_id""",
 
+      // exact 13-gram decontamination: any single shared 13-gram with the
+      // bench set (doc_id%50==0) flags the doc. Powers of 131 mod P are
+      // precomputed literals; every term < 2^44 so the sum is exact int64
+      "q66_ngram13_decontam" -> {
+        val pows = Array.iterate(1L, 13)(p => p * 131L % 1000000007L).reverse
+        val terms = pows.zipWithIndex
+          .map { case (p, j) => s"s[i+$j] * $p" }.mkString(" + ")
+        s"""
+WITH sg AS (SELECT doc_id, $sigsExpr AS s FROM documents),
+base AS (SELECT doc_id,
+  CASE WHEN len(s) < 13 THEN CAST([] AS BIGINT[])
+       ELSE list_distinct(list_transform(range(1, len(s) - 11),
+         i -> ($terms) % 1000000007)) END AS ng FROM sg),
+idx AS (SELECT doc_id, unnest(ng) AS g FROM base),
+bench AS (SELECT DISTINCT g FROM idx WHERE doc_id % 50 = 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM idx JOIN bench USING (g)
+         WHERE doc_id % 50 <> 0 GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+      },
+
+      // frozen linear quality model: integer weights x integer features;
+      // the logistic link is monotone so keep == (score >= 40) exactly
+      "q67_quality_model" -> """
+SELECT doc_id,
+  5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and')))
+  + len(string_split(text, ' '))
+  - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS qm_score,
+  (5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and')))
+   + len(string_split(text, ' '))
+   - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) >= 40 AS keep
+FROM documents ORDER BY doc_id""",
+
       // winnowing fingerprint index (SIGMOD'03 window-minima selection over
       // positional 3-gram hashes, w=4) — the exploded (doc_id, fp) index
       "q61_winnow_fp" -> s"""

@@ -316,7 +316,18 @@ object SparkEntry {
     // doc_id%10==0, one-sided exact digest + shingle-jaccard match against
     // the frozen corpus only — corpus-internal pairs never generated
     "q65_incr_dedup" -> ((s, dir) =>
-      operators.DedupOps.incrementalDedup(docs(s, dir)).orderBy("doc_id")))
+      operators.DedupOps.incrementalDedup(docs(s, dir)).orderBy("doc_id")),
+    // exact 13-gram eval decontamination (GPT-3/Pile rule): ANY single
+    // shared 13-gram with the bench set disqualifies (1 doc hits at
+    // sf0.01 — non-trivially exercised); the any-hit complement of q39's
+    // ratio-threshold shingle check
+    "q66_ngram13_decontam" -> ((s, dir) =>
+      operators.DedupOps.ngramDecontaminate(docs(s, dir)).orderBy("doc_id")),
+    // frozen linear quality-model serving (classifier complement of q40's
+    // rule filter): integer weights x integer features, monotone-link
+    // decision as integer comparison (389/500 keep at sf0.01)
+    "q67_quality_model" -> ((s, dir) =>
+      operators.TextOps.qualityModelScore(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -268,6 +268,51 @@ object DedupOps {
       .withColumn("is_contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Distinct positional n-gram codes for arbitrary `n`: polynomial over
+    * token signatures with precomputed powers of 131 mod P. Each term is
+    * sig * 131^(n-1-j) < 2^44 and the 13-term sum stays < 2^48, so the
+    * arithmetic is exact int64 on both engines before the single pmod.
+    */
+  def ngramCodes(sigs: Column, n: Int): Column = {
+    val pows = Array.iterate(1L, n)(p => p * 131L % P).reverse
+    when(size(sigs) < n, array().cast("array<bigint>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), size(sigs) - (n - 1)), i =>
+          pmod((0 until n).map(j => element_at(sigs, i + j) * lit(pows(j)))
+            .reduce(_ + _), lit(P)))))
+  }
+
+  /** Exact 13-gram decontamination — the GPT-3/Pile-style eval-overlap
+    * check: a training document is contaminated if it shares ANY single
+    * 13-gram with the benchmark set. The complement of `decontaminate`
+    * (q39): that one thresholds a RATIO of shared 3-gram shingles (fuzzy,
+    * catches paraphrase-adjacent overlap), this one is the any-hit exact
+    * long-n-gram rule used to scrub eval suites, where one verbatim
+    * 13-token run is disqualifying regardless of document length.
+    *
+    * Same scale shape as q39: the benchmark n-gram set is small by nature
+    * and BROADCASTS; the corpus index never shuffles — matching is a
+    * map-side hash semi-probe plus a partial-combined count, and the
+    * n-gram index is computed in one codegen'd pass (13 multiplies per
+    * position).
+    */
+  def ngramDecontaminate(docs: DataFrame, n: Int = 13,
+                         benchPred: Column = pmod(col("doc_id"), lit(50)) === 0): DataFrame = {
+    val idx = Intermediates.persist(
+      docs
+        .withColumn("_sigs", transform(tokens(col("text")), tokenSig(_)))
+        .withColumn("_ng", ngramCodes(col("_sigs"), n))
+        .select(col("doc_id"), explode_outer(col("_ng")).as("ngram"))
+        .filter(col("ngram").isNotNull))
+    val bench = idx.filter(benchPred).select("ngram").distinct()
+    val hits = idx.filter(!benchPred).join(broadcast(bench), Seq("ngram"))
+      .groupBy("doc_id").agg(count("*").as("n_hits"))
+    docs.filter(!benchPred).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   /** Incremental (delta-vs-corpus) dedup — the daily-ingest shape: dedup a
     * new batch against an already-curated frozen corpus WITHOUT touching
     * corpus-internal pairs. `corpusPred` marks the frozen side; everything

@@ -82,6 +82,37 @@ object TextOps {
       markers.cast("long").as("n_marker_tokens"))
   }
 
+  /** Frozen linear quality-model weights (the serving half of a
+    * fastText-style quality classifier: a model trained offline, frozen
+    * into the pipeline, applied at full corpus scale). Integer weights
+    * over integer features keep the score exact int64 cross-engine; the
+    * logistic link is strictly monotone, so the keep decision
+    * sigmoid(score) >= p is served as the integer comparison
+    * score >= threshold — no float, no libm.
+    */
+  val QmWeightStopword = 5L
+  val QmWeightToken = 1L
+  val QmWeightPunct = -8L
+  val QmThreshold = 40L
+
+  /** Model-based quality scoring: one codegen'd map-side pass emitting the
+    * frozen model's integer score and keep decision per document — the
+    * classifier-serving complement of the rule-based `qualityFilter`
+    * (q40). At 100 TB this is a narrow projection pushed right against
+    * the scan: no shuffle, no state, embarrassingly parallel.
+    */
+  def qualityModelScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long")
+    val nPunct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long")
+    docs.select(
+      col("doc_id"),
+      (lit(QmWeightStopword) * nStop + lit(QmWeightToken) * nTok
+        + lit(QmWeightPunct) * nPunct).as("qm_score"))
+      .withColumn("keep", col("qm_score") >= QmThreshold)
+  }
+
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
 

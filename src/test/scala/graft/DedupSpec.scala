@@ -162,6 +162,9 @@ class DedupSpec extends SparkSpec {
       "shingleIndex" -> DedupOps.shingleIndex(docs),
       "lshCandidates" -> DedupOps.lshCandidates(docs),
       "jaccardPairs" -> DedupOps.jaccardPairs(docs, 0.1),
+      "winnowFingerprints" -> DedupOps.winnowFingerprints(docs),
+      "containmentPairs" -> DedupOps.containmentPairs(docs, 0.5),
+      "incrementalDedup" -> DedupOps.incrementalDedup(docs),
       "simhash" -> graft.operators.TextOps.simhash(docs))) {
       val scans = df.queryExecution.executedPlan.toString.linesIterator
         .filter(_.contains("FileScan")).mkString("\n")
@@ -326,5 +329,22 @@ class DedupSpec extends SparkSpec {
     assert(out(10L)._3 == false)
     assert(out(20L)._1.isEmpty && out(20L)._2.contains(1L), s"near dup -> min corpus keeper: ${out(20L)}")
     assert(out(30L) == (None, None, true))
+  }
+
+  test("13-gram decontamination: one verbatim 13-token run flags; 12 shared tokens do not") {
+    val run13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val run12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"bench prefix $run13 bench suffix"),  // the bench doc (0 % 50 == 0)
+      (1L, s"train stuff $run13 more text"),      // shares the full 13-gram -> flagged
+      (2L, s"train stuff $run12 more text"),      // only 12 consecutive shared -> clean
+      (3L, "wholly unrelated training material here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.ngramDecontaminate(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!out.contains(0L), "bench docs are not scored")
+    assert(out(1L)._2 && out(1L)._1 >= 1, s"13-gram hit must flag: ${out(1L)}")
+    assert(out(2L) == (0L, false), s"12 tokens must not flag: ${out(2L)}")
+    assert(out(3L) == (0L, false))
   }
 }

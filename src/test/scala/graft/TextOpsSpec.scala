@@ -133,4 +133,16 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit partial top-k in plan:\n${plan.take(2000)}")
   }
+
+  test("quality model: score is the exact integer dot product; keep flips at the threshold") {
+    // 8 stopwords * 5 + 10 tokens * 1 - 0 punct = 50 >= 40 -> keep
+    val good = "the a of and the a of and tok tok"
+    // 0 stopwords + 10 tokens - 8 * 2 punct = -6 -> drop
+    val bad = "x! y? aa bb cc dd ee ff gg hh"
+    val out = TextOps.qualityModelScore(
+      Seq((1L, good), (2L, bad)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (50L, true), s"got ${out(1L)}")
+    assert(out(2L) == (-6L, false), s"got ${out(2L)}")
+  }
 }
