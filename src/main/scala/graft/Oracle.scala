@@ -407,7 +407,20 @@ sess AS (
   FROM flags)
 SELECT conv_id, turn_idx, session_idx,
   conv_id || '#' || CAST(session_idx AS VARCHAR) AS session_id
-FROM sess ORDER BY conv_id, turn_idx""") ++ dataOpsSql
+FROM sess ORDER BY conv_id, turn_idx""",
+
+    // turn-level exact dedup across conversations: keeper = lexicographic
+    // min (conv_id, turn_idx) of each byte-identical text group (the
+    // engine keys on md5; texts are the grouping either way)
+    "q69_turn_dedup" -> s"""WITH $tCte
+SELECT conv_id, turn_idx,
+  FIRST_VALUE(conv_id) OVER w AS keeper_conv_id,
+  FIRST_VALUE(turn_idx) OVER w AS keeper_turn_idx,
+  COUNT(*) OVER (PARTITION BY text) AS n_copies,
+  (COUNT(*) OVER (PARTITION BY text)) > 1 AS is_dup
+FROM t
+WINDOW w AS (PARTITION BY text ORDER BY conv_id, turn_idx)
+ORDER BY conv_id, turn_idx""") ++ dataOpsSql
 
   // ---------------------------------------------------------------------
   // Training-data operators over documents/embeddings (SparkEntry q20+)
@@ -672,6 +685,39 @@ SELECT ex.doc_id, ex.exact_keeper, near.near_keeper,
   (ex.exact_keeper IS NULL AND near.near_keeper IS NULL) AS is_new
 FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
 ORDER BY ex.doc_id""",
+
+      // margin-based bitext mining: 4-bit sign-bucket candidates across the
+      // vec_id-parity sides; per-endpoint sorted top-4 mean (prepend-0.0
+      // fold mirrors the engine's seed); mutual best + ratio margin >= 1.0
+      "q68_margin_mining" -> {
+        val b4 = (0 until 4)
+          .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+WITH e AS (SELECT vec_id, embedding, CAST(($b4) AS BIGINT) AS bucket FROM embeddings),
+s AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+t AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+cand AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+  ${cos("s.embedding", "t.embedding")} AS c FROM s JOIN t USING (bucket)),
+sa AS (SELECT sid,
+  (list(c ORDER BY c DESC, tid))[1] AS best_c,
+  (list(tid ORDER BY c DESC, tid))[1] AS best_tid,
+  list_reduce(list_prepend(0.0, (list(c ORDER BY c DESC, tid))[1:4]), (x, y) -> x + y)
+    / CAST(least(4, count(*)) AS DOUBLE) AS avg_s
+  FROM cand GROUP BY sid),
+ta AS (SELECT tid,
+  (list(sid ORDER BY c DESC, sid))[1] AS best_sid,
+  list_reduce(list_prepend(0.0, (list(c ORDER BY c DESC, sid))[1:4]), (x, y) -> x + y)
+    / CAST(least(4, count(*)) AS DOUBLE) AS avg_t
+  FROM cand GROUP BY tid)
+SELECT sa.sid AS src_id, sa.best_tid AS tgt_id,
+  round(sa.best_c, 6) AS cos_sim,
+  round(sa.best_c / ((sa.avg_s + ta.avg_t) / 2), 6) AS margin
+FROM sa JOIN ta ON ta.tid = sa.best_tid
+WHERE ta.best_sid = sa.sid
+  AND sa.best_c / ((sa.avg_s + ta.avg_t) / 2) >= 1.0
+ORDER BY src_id"""
+      },
 
       // exact 13-gram decontamination: any single shared 13-gram with the
       // bench set (doc_id%50==0) flags the doc. Powers of 131 mod P are

@@ -327,7 +327,17 @@ object SparkEntry {
     // rule filter): integer weights x integer features, monotone-link
     // decision as integer comparison (389/500 keep at sf0.01)
     "q67_quality_model" -> ((s, dir) =>
-      operators.TextOps.qualityModelScore(docs(s, dir)).orderBy("doc_id")))
+      operators.TextOps.qualityModelScore(docs(s, dir)).orderBy("doc_id")),
+    // margin-based bitext mining (Artetxe&Schwenk ratio rule): mutual best
+    // matches across the two vec_id-parity sides, scored relative to both
+    // endpoints' top-k neighborhoods; sign-LSH bucket candidates
+    "q68_margin_mining" -> ((s, dir) =>
+      operators.SimilarityOps.marginBitextPairs(emb(s, dir)).orderBy("src_id")),
+    // turn-level exact dedup across conversations (SFT boilerplate
+    // hygiene): digest-keyed, text never shuffles, deterministic keeper
+    "q69_turn_dedup" -> ((s, dir) =>
+      operators.ConversationOps.turnDedup(transcripts(s, dir))
+        .orderBy("conv_id", "turn_idx")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

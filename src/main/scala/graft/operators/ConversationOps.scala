@@ -34,6 +34,31 @@ object ConversationOps {
         max("_max_ts").as("last_ts"))
   }
 
+  /** Turn-level exact dedup ACROSS conversations: the SFT-data hygiene
+    * step that catches repeated assistant boilerplate, templated tool
+    * output, and health-check chatter duplicated over thousands of
+    * conversations (the synthetic corpus carries groups of 333/1000
+    * byte-identical turns). Same digest-keyed shape as DedupOps.exactDups:
+    * nothing wider than (conv_id, turn_idx, 16-byte digest) crosses an
+    * exchange — the turn text itself never shuffles — and the keeper is
+    * the lexicographic minimum (conv_id, turn_idx), so the choice is
+    * deterministic under any partitioning. At 10^12 turns this is two
+    * narrow hash shuffles, with the dup-group census (the hot digests)
+    * naturally bounded by map-side partial aggregation.
+    */
+  def turnDedup(transcripts: DataFrame): DataFrame = {
+    val keyed = transcripts.select(col("conv_id"), col("turn_idx"),
+      md5(col("text").cast("binary")).as("_digest"))
+    val groups = keyed.groupBy("_digest").agg(
+      min(struct(col("conv_id"), col("turn_idx"))).as("_keeper"),
+      count("*").as("n_copies"))
+    keyed.join(groups, "_digest")
+      .select(col("conv_id"), col("turn_idx"),
+        col("_keeper").getField("conv_id").as("keeper_conv_id"),
+        col("_keeper").getField("turn_idx").as("keeper_turn_idx"),
+        col("n_copies"), (col("n_copies") > 1).as("is_dup"))
+  }
+
   /** Gap-based sessionization: a new session starts at the first turn of a
     * conversation and whenever the inter-turn gap exceeds `gapSec`. The
     * classic two-window shape — a lag to flag session starts, a running sum

@@ -356,6 +356,63 @@ object SimilarityOps {
       .select("vec_id", "cid", "cell_rank")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk's ratio-margin rule,
+    * the LASER/CCMatrix parallel-pair miner): align vectors of two corpus
+    * sides by embedding similarity, but score each candidate pair by its
+    * cosine RELATIVE to what each endpoint scores against its other
+    * neighbors — margin(x,y) = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2).
+    * An endpoint that is promiscuously close to everything (a hub vector)
+    * yields margin ~1 and is rejected; a genuinely parallel pair stands
+    * out above both endpoints' neighborhoods. Emitted pairs must be
+    * MUTUAL best matches clearing `threshold`.
+    *
+    * The two sides here are vec_id parity (the synthetic stand-in for a
+    * lang column on a real bitext table). Candidate generation is the
+    * sign-LSH bucket join (the same scale path as cosineDupPairs: bucket
+    * becomes the table's partition key at 100 TB, `maxBucketSize`-style
+    * occupancy preconditioning applies upstream); everything downstream
+    * operates on the bounded per-bucket candidate sets.
+    *
+    * Bit-exactness: per-endpoint neighbor lists are sorted (cos desc,
+    * id asc) before the top-k prefix sum, so the fold order — and thus
+    * every IEEE addition — is identical cross-engine; collect_list's
+    * nondeterministic arrival order is erased by the sort.
+    */
+  def marginBitextPairs(emb: DataFrame, bits: Int = 4, k: Int = 4,
+                        threshold: Double = 1.0): DataFrame = {
+    val bucketed = emb.withColumn("_bucket", signBucket(col("embedding"), bits))
+    val src = bucketed.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("_bucket"))
+    val tgt = bucketed.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("tid"), col("embedding").as("tv"), col("_bucket"))
+    val cand = Intermediates.persist(
+      src.join(tgt, "_bucket")
+        .select(col("sid"), col("tid"), cosine(col("sv"), col("tv")).as("c")))
+
+    // sorted neighbor summary per endpoint: best neighbor + top-k mean.
+    // struct(-c, id) sorts ascending == (cos desc, id asc); negation is
+    // sign-flip-exact so -element recovers the cosine bit-for-bit
+    def summarize(key: String, other: String) = cand
+      .groupBy(key)
+      .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col(other).as("id"))))
+        .as("_l"))
+      .select(col(key),
+        col("_l")(0).getField("id").as(s"best_$other"),
+        (-col("_l")(0).getField("nc")).as(s"best_c_$key"),
+        (aggregate(transform(slice(col("_l"), 1, k), x => -x.getField("nc")),
+          lit(0.0), (a, x) => a + x)
+          / least(lit(k), size(col("_l"))).cast("double")).as(s"avg_$key"))
+
+    val bySrc = summarize("sid", "tid")
+    val byTgt = summarize("tid", "sid")
+    bySrc.join(byTgt, col("best_tid") === col("tid"))
+      .filter(col("best_sid") === col("sid")) // mutual best
+      .withColumn("margin", col("best_c_sid") / ((col("avg_sid") + col("avg_tid")) / 2))
+      .filter(col("margin") >= threshold)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        round(col("best_c_sid"), 6).as("cos_sim"), round(col("margin"), 6).as("margin"))
+  }
+
   // ---- product quantization: compressed-domain ANN + exact rerank ----
 
   /** Per-subspace squared L2 to every codeword of `books(m)`, as a literal

@@ -51,4 +51,25 @@ class ConversationOpsSpec extends SparkSpec {
     // numbering restarts per conversation
     assert(out(3).getAs[String]("session_id") == "b#1")
   }
+
+  test("turnDedup keeps the lexicographic-min (conv_id, turn_idx) and never shuffles text") {
+    val turns = Seq(
+      ("conv-b", 5, "repeated boilerplate line"),
+      ("conv-a", 9, "repeated boilerplate line"),
+      ("conv-a", 2, "repeated boilerplate line"),
+      ("conv-c", 1, "a unique turn"))
+      .toDF("conv_id", "turn_idx", "text")
+    val out = ConversationOps.turnDedup(turns).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3), r.getLong(4), r.getBoolean(5))).toMap
+    // keeper is ("conv-a", 2): min conv_id first, then min turn_idx
+    for (k <- Seq(("conv-b", 5), ("conv-a", 9), ("conv-a", 2)))
+      assert(out(k) == ("conv-a", 2, 3L, true), s"$k -> ${out(k)}")
+    assert(out(("conv-c", 1)) == ("conv-c", 1, 1L, false))
+    // the join key is the 16-byte digest — the turn text itself must not
+    // appear above the exchange (the 10^12-turn shuffle-width contract)
+    assert(!ConversationOps.turnDedup(turns).queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      "text column must not cross an exchange")
+  }
 }

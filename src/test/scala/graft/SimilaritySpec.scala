@@ -294,4 +294,25 @@ class SimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions"), s"expected bounded-heap partial top-k in plan:\n$plan")
   }
+
+  test("margin mining: parallel pair survives, non-mutual best and hub-dominated pairs drop") {
+    import spark.implicits._
+    // all vectors in one sign bucket (first 4 dims positive); parity picks
+    // the side. s0<->t1 are near-identical (the parallel pair); s2's best
+    // is also t1 (non-mutual -> dropped); t3 is a mild hub.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1, 1, 1, 1, 9, 0, 0, 0)),   // s0
+      (1L, v(1, 1, 1, 1, 9, 0.1, 0, 0)), // t1 ~ s0
+      (2L, v(1, 1, 1, 1, 5, 5, 0, 0)),   // s2: closer to t1 than to t3
+      (3L, v(1, 1, 1, 1, 1, 1, 1, 1)))   // t3: moderately close to all
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.marginBitextPairs(emb, bits = 4, k = 2, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("margin")).toMap
+    assert(out.contains((0L, 1L)), s"parallel pair missing: $out")
+    assert(out((0L, 1L)) > 1.0, s"parallel pair must clear margin 1: ${out((0L, 1L))}")
+    // s2's best target is t1, but t1's best source is s0 -> no (2,1) pair;
+    // and (2,3) is not emitted either because t3 is not s2's best
+    assert(!out.contains((2L, 1L)) && !out.contains((2L, 3L)), s"non-mutual pair leaked: $out")
+  }
 }
