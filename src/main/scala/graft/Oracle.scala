@@ -433,6 +433,34 @@ ORDER BY conv_id, turn_idx""") ++ dataOpsSql
          ELSE list_distinct(list_transform(range(1, len($sigsExpr) - 1),
            i -> ($sigsExpr[i] * 17161 + $sigsExpr[i+1] * 131 + $sigsExpr[i+2]) % 1000000007)) END"""
 
+  /** Incremental-dedup verdict table (mirrors DedupOps.incrementalDedup):
+    * shared by q65 (per-doc dump) and q70 (per-source rollup).
+    */
+  private def incrDedupCte: String = s"""
+corp AS (SELECT min(doc_id) AS exact_keeper, text FROM documents
+         WHERE doc_id % 10 <> 0 GROUP BY text),
+delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+ex AS (SELECT d.doc_id, c.exact_keeper FROM delta d
+       LEFT JOIN corp c ON d.text = c.text),
+ibase AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+iidx AS (SELECT doc_id, unnest(sh) AS shingle FROM ibase),
+isz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM iidx GROUP BY 1),
+ipairs AS (
+  SELECT d.doc_id AS doc_id, c.doc_id AS corpus_id, count(*) AS n_inter
+  FROM iidx d JOIN iidx c ON d.shingle = c.shingle
+  WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+  GROUP BY 1, 2),
+inear AS (
+  SELECT p.doc_id, MIN(p.corpus_id) AS near_keeper FROM ipairs p
+  JOIN isz sd ON sd.doc_id = p.doc_id
+  JOIN isz sc ON sc.doc_id = p.corpus_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sd.n_sh + sc.n_sh - n_inter AS DOUBLE) >= 0.12
+  GROUP BY 1),
+incr AS (
+  SELECT ex.doc_id, ex.exact_keeper, inear.near_keeper,
+    (ex.exact_keeper IS NULL AND inear.near_keeper IS NULL) AS is_new
+  FROM ex LEFT JOIN inear ON inear.doc_id = ex.doc_id)"""
+
   /** Positional (non-distinct) 3-gram codes + the winnowing selection
     * (window-of-4 minima) — mirror DedupOps.kgramCodesFrom/winnowFingerprints.
     */
@@ -662,29 +690,23 @@ ORDER BY doc_a, doc_b""",
       // identity (the engine keys on md5; null-free corpus makes text
       // grouping equivalent), near by shingle jaccard >= 0.12
       "q65_incr_dedup" -> s"""
-WITH corp AS (SELECT min(doc_id) AS exact_keeper, text FROM documents
-              WHERE doc_id % 10 <> 0 GROUP BY text),
-delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-ex AS (SELECT d.doc_id, c.exact_keeper FROM delta d
-       LEFT JOIN corp c ON d.text = c.text),
-base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
-idx AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
-sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM idx GROUP BY 1),
-pairs AS (
-  SELECT d.doc_id AS doc_id, c.doc_id AS corpus_id, count(*) AS n_inter
-  FROM idx d JOIN idx c ON d.shingle = c.shingle
-  WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-  GROUP BY 1, 2),
-near AS (
-  SELECT p.doc_id, MIN(p.corpus_id) AS near_keeper FROM pairs p
-  JOIN sz sd ON sd.doc_id = p.doc_id
-  JOIN sz sc ON sc.doc_id = p.corpus_id
-  WHERE CAST(n_inter AS DOUBLE) / CAST(sd.n_sh + sc.n_sh - n_inter AS DOUBLE) >= 0.12
-  GROUP BY 1)
-SELECT ex.doc_id, ex.exact_keeper, near.near_keeper,
-  (ex.exact_keeper IS NULL AND near.near_keeper IS NULL) AS is_new
-FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
-ORDER BY ex.doc_id""",
+WITH $incrDedupCte
+SELECT doc_id, exact_keeper, near_keeper, is_new FROM incr
+ORDER BY doc_id""",
+
+      // per-source ingest telemetry over the q65 verdicts: exact/near/new
+      // split and a dup rate per delta source (re-crawl gating signal)
+      "q70_ingest_report" -> s"""
+WITH $incrDedupCte,
+j AS (SELECT i.*, d.source FROM incr i JOIN documents d USING (doc_id))
+SELECT source, count(*) AS n_delta,
+  CAST(sum(CASE WHEN exact_keeper IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+  CAST(sum(CASE WHEN exact_keeper IS NULL AND near_keeper IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  round(CAST(sum(CASE WHEN exact_keeper IS NOT NULL THEN 1 ELSE 0 END)
+           + sum(CASE WHEN exact_keeper IS NULL AND near_keeper IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM j GROUP BY source ORDER BY source""",
 
       // margin-based bitext mining: 4-bit sign-bucket candidates across the
       // vec_id-parity sides; per-endpoint sorted top-4 mean (prepend-0.0

@@ -337,7 +337,11 @@ object SparkEntry {
     // hygiene): digest-keyed, text never shuffles, deterministic keeper
     "q69_turn_dedup" -> ((s, dir) =>
       operators.ConversationOps.turnDedup(transcripts(s, dir))
-        .orderBy("conv_id", "turn_idx")))
+        .orderBy("conv_id", "turn_idx")),
+    // per-source ingest telemetry over the q65 verdicts (re-crawl gating):
+    // exact/near/new split + dup rate per delta source
+    "q70_ingest_report" -> ((s, dir) =>
+      operators.DedupOps.ingestReport(docs(s, dir)).orderBy("source")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -373,6 +373,30 @@ object DedupOps {
         (col("exact_keeper").isNull && col("near_keeper").isNull).as("is_new"))
   }
 
+  /** Per-source ingest telemetry over the incremental-dedup result — the
+    * curation dashboard a daily-ingest pipeline emits alongside q65's
+    * per-doc verdicts: how much of each source's delta is exact-duplicate,
+    * near-duplicate, or genuinely new. A source whose dup_rate jumps is a
+    * re-crawl or a mirror and gets gated BEFORE its text spends compute
+    * downstream. Aggregation is a narrow post-join groupBy over ids and
+    * flags; `dup_rate` is a single exact-rounded division per source.
+    */
+  def ingestReport(docs: DataFrame,
+                   corpusPred: Column = pmod(col("doc_id"), lit(10)) =!= 0,
+                   threshold: Double = 0.12): DataFrame =
+    incrementalDedup(docs, corpusPred, threshold)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count("*").as("n_delta"),
+        sum(when(col("exact_keeper").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("exact_keeper").isNull && col("near_keeper").isNotNull, 1L)
+          .otherwise(0L)).as("n_near_dup"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("dup_rate",
+        round((col("n_exact_dup") + col("n_near_dup")).cast("double")
+          / col("n_delta").cast("double"), 6))
+
   /** The end of the dedup story: materialize the CLEAN corpus. One keeper
     * per near-dup cluster — the minimum doc_id, the same deterministic
     * keep-rule as exactDups — annotated with its cluster size so downstream
