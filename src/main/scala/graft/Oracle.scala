@@ -694,6 +694,27 @@ WITH $incrDedupCte
 SELECT doc_id, exact_keeper, near_keeper, is_new FROM incr
 ORDER BY doc_id""",
 
+      // duplicated-SPAN extraction (Lee et al. ACL'22, n-gram relaxation of
+      // the suffix-array substring dedup): positions whose 3-gram occurs in
+      // >1 DISTINCT doc, merged into maximal islands, runs shorter than 15
+      // tokens dropped (span length = last_pos - first_pos + 3)
+      "q71_dup_spans" -> s"""
+WITH base AS (SELECT doc_id, $kgramsExpr AS kg FROM documents),
+pidx AS (SELECT doc_id,
+  unnest(list_transform(range(1, len(kg) + 1), i -> {'pos': i, 'g': kg[i]})) AS pg
+  FROM base),
+idx AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.g AS g FROM pidx),
+dupg AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM idx) GROUP BY g
+         HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM idx WHERE g IN (SELECT g FROM dupg)),
+isl AS (SELECT doc_id, pos,
+  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+  CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp
+HAVING max(pos) + 2 - min(pos) + 1 >= 15
+ORDER BY doc_id, span_start""",
+
       // per-source ingest telemetry over the q65 verdicts: exact/near/new
       // split and a dup rate per delta source (re-crawl gating signal)
       "q70_ingest_report" -> s"""

@@ -341,7 +341,13 @@ object SparkEntry {
     // per-source ingest telemetry over the q65 verdicts (re-crawl gating):
     // exact/near/new split + dup rate per delta source
     "q70_ingest_report" -> ((s, dir) =>
-      operators.DedupOps.ingestReport(docs(s, dir)).orderBy("source")))
+      operators.DedupOps.ingestReport(docs(s, dir)).orderBy("source")),
+    // duplicated-SPAN extraction (within-document complement of doc-level
+    // dedup, Lee et al. ACL'22): maximal runs of positional 3-grams shared
+    // across documents, min-run filter ACTIVE at sf0.01 (3724 raw islands
+    // -> 311 spans over 259 docs)
+    "q71_dup_spans" -> ((s, dir) =>
+      operators.DedupOps.dupSpans(docs(s, dir)).orderBy("doc_id", "span_start")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -347,4 +347,40 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (0L, false), s"12 tokens must not flag: ${out(2L)}")
     assert(out(3L) == (0L, false))
   }
+
+  test("dup-span extraction: maximal islands, min-run filter, no within-doc self-certification") {
+    // tokenSig = ascii(first) * 131 + length, so distinct (first char, length)
+    // pairs guarantee distinct signatures — build vocab as char repeated n
+    def tok(c: Char, n: Int) = c.toString * n
+    def run(chars: String, lens: Range) =
+      chars.flatMap(c => lens.map(n => tok(c, n))).mkString(" ")
+    val shared16 = run("abcd", 1 to 4)         // 16 tokens, all sigs distinct
+    val shared10 = run("hi", 1 to 4) + " " + tok('j', 1) + " " + tok('j', 2)
+    val docs = Seq(
+      (0L, s"e ee eee $shared16 f ff"),         // shared16 at tokens 4..19
+      (1L, s"g $shared16 gg ggg"),              // shared16 at tokens 2..17
+      (2L, s"k $shared10 kk"),                  // 10-token run: below min 15
+      (3L, s"l ll $shared10"),
+      (4L, "m mm mmm m mm mmm m mm mmm"))       // repeats only WITHIN one doc
+      .toDF("doc_id", "text")
+
+    val spans = DedupOps.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 16-token shared run -> ONE maximal island per doc: 14 grams, span
+    // arithmetic last_gram_pos + 2 (a gram at p covers tokens p..p+2)
+    assert(spans(0L) == (4L, 19L, 14L), s"docA span: ${spans.get(0L)}")
+    assert(spans(1L) == (2L, 17L, 14L), s"docB span: ${spans.get(1L)}")
+    // the 10-token run is real but below minRunTokens=15: dropped
+    assert(!spans.contains(2L) && !spans.contains(3L), "short run must be filtered")
+    // a gram repeated three times inside ONE doc never self-certifies
+    assert(!spans.contains(4L), "within-doc repetition is not duplication")
+
+    // lowering the threshold admits the 10-token run, island arithmetic intact
+    val loose = DedupOps.dupSpans(docs, minRunTokens = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(loose(2L) == (2L, 11L, 8L), s"docC loose span: ${loose.get(2L)}")
+    assert(loose(3L) == (3L, 12L, 8L), s"docD loose span: ${loose.get(3L)}")
+    assert(loose(0L) == (4L, 19L, 14L) && !loose.contains(4L))
+    graft.operators.Intermediates.release(spark)
+  }
 }
