@@ -715,6 +715,41 @@ FROM isl GROUP BY doc_id, grp
 HAVING max(pos) + 2 - min(pos) + 1 >= 15
 ORDER BY doc_id, span_start""",
 
+      // span-removal materialization: rebuild every doc with its q71 spans
+      // stripped (every flagged occurrence removed — boilerplate policy)
+      "q72_strip_spans" -> s"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks, $kgramsExpr AS kg
+  FROM documents),
+pidx AS (SELECT doc_id,
+  unnest(list_transform(range(1, len(kg) + 1), i -> {'pos': i, 'g': kg[i]})) AS pg
+  FROM base),
+idx AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.g AS g FROM pidx),
+dupg AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM idx) GROUP BY g
+         HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM idx WHERE g IN (SELECT g FROM dupg)),
+isl AS (SELECT doc_id, pos,
+  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+  FROM isl GROUP BY doc_id, grp
+  HAVING max(pos) + 2 - min(pos) + 1 >= 15),
+cov AS (SELECT DISTINCT doc_id, pos FROM (
+  SELECT doc_id, CAST(unnest(range(span_start, span_end + 1)) AS BIGINT) AS pos
+  FROM spans)),
+tp AS (SELECT doc_id,
+  unnest(list_transform(range(1, len(toks) + 1), i -> {'pos': i, 't': toks[i]})) AS pt
+  FROM base),
+tok AS (SELECT doc_id, CAST(pt.pos AS BIGINT) AS pos, pt.t AS t FROM tp),
+kept AS (SELECT tok.doc_id, tok.pos, tok.t FROM tok
+  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+  WHERE cov.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+  CAST(len(b.toks) AS BIGINT) AS n_tokens,
+  CAST(len(b.toks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+ORDER BY b.doc_id""",
+
       // per-source ingest telemetry over the q65 verdicts: exact/near/new
       // split and a dup rate per delta source (re-crawl gating signal)
       "q70_ingest_report" -> s"""

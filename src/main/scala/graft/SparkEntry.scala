@@ -347,7 +347,12 @@ object SparkEntry {
     // across documents, min-run filter ACTIVE at sf0.01 (3724 raw islands
     // -> 311 spans over 259 docs)
     "q71_dup_spans" -> ((s, dir) =>
-      operators.DedupOps.dupSpans(docs(s, dir)).orderBy("doc_id", "span_start")))
+      operators.DedupOps.dupSpans(docs(s, dir)).orderBy("doc_id", "span_start")),
+    // span-removal materialization (q71's pipeline terminal): every doc
+    // rebuilt with its duplicated spans stripped — the strip-all boilerplate
+    // policy, vs the keep-one-copy doc-level ops q50/q53/q65
+    "q72_strip_spans" -> ((s, dir) =>
+      operators.DedupOps.stripSpans(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

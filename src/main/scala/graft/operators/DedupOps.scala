@@ -212,6 +212,44 @@ object DedupOps {
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
+  /** Duplicated-span REMOVAL — the materialization terminal of [[dupSpans]]:
+    * rebuild each document with its duplicated spans stripped, keeping the
+    * unique remainder. This is the "remove the boilerplate, keep the page"
+    * policy for cross-document repeated chrome (license headers, navigation,
+    * quoted reposts): every flagged occurrence is removed, in contrast to
+    * the doc-level keeper ops (q50/q53/q65) which keep one full copy — a
+    * documented policy choice, the right one when the repeated material is
+    * chrome rather than content (Lee et al. ACL'22 §4 discuss both).
+    *
+    * Scale shape: [[dupSpans]] emits only (doc_id, start, end) triples, so
+    * the span side of the join is tiny relative to the corpus and the
+    * per-doc span list is collected into a single array column (bounded by
+    * doc length / minRunTokens spans per doc). The rebuild is then one
+    * map-only pass over the text: a positional `filter` over the token
+    * array against the doc's own span array — text never shuffles, and the
+    * per-token cost is O(spans-in-doc), not O(spans-in-corpus). Spans from
+    * adjacent islands may abut or overlap in token space (islands are
+    * maximal in GRAM positions, which project to overlapping token ranges);
+    * the positional membership test handles that without a union pass.
+    */
+  def stripSpans(docs: DataFrame, minRunTokens: Int = 15): DataFrame = {
+    val spans = dupSpans(docs, minRunTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_toks")).otherwise(
+          filter(col("_toks"), (_, i) =>
+            !exists(col("_spans"), s =>
+              i + 1 >= s.getField("s") && i + 1 <= s.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Winnowing fingerprint index (Schleimer/Wilkerson/Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
     * scheme): slide a window of `w` consecutive k-gram hashes over the

@@ -381,6 +381,21 @@ class DedupSpec extends SparkSpec {
     assert(loose(2L) == (2L, 11L, 8L), s"docC loose span: ${loose.get(2L)}")
     assert(loose(3L) == (3L, 12L, 8L), s"docD loose span: ${loose.get(3L)}")
     assert(loose(0L) == (4L, 19L, 14L) && !loose.contains(4L))
+
+    // strip-all policy: the shared run is removed from BOTH docs (chrome
+    // semantics, vs the keep-one-copy doc-level ops); clean docs untouched
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clean = DedupOps.stripSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(clean(0L) == ("e ee eee f ff", 21L, 16L), s"docA strip: ${clean(0L)}")
+    assert(clean(1L) == ("g gg ggg", 19L, 16L), s"docB strip: ${clean(1L)}")
+    // sub-threshold runs and within-doc repetition leave text byte-identical
+    Seq(2L, 3L, 4L).foreach { d =>
+      assert(clean(d)._1 == texts(d) && clean(d)._3 == 0L, s"doc $d must be untouched")
+    }
+    val cleanLoose = DedupOps.stripSpans(docs, minRunTokens = 10).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(cleanLoose(2L) == ("k kk", 10L) && cleanLoose(3L) == ("l ll", 10L))
     graft.operators.Intermediates.release(spark)
   }
 }
