@@ -750,6 +750,58 @@ SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
 FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 ORDER BY b.doc_id""",
 
+      // stupid-backoff trigram LM scoring: reference shard doc_id%5!=0
+      // trains uni/bi/tri counts, the rest is scored; every tier is a
+      // quotient of exact longs and the per-doc mean a position-ordered
+      // fold (the q43 bit-stability rule)
+      "q73_lm_score" -> s"""
+WITH sg AS (SELECT doc_id, $sigsExpr AS sg FROM documents),
+train AS (SELECT * FROM sg WHERE doc_id % 5 <> 0),
+score AS (SELECT * FROM sg WHERE doc_id % 5 = 0),
+tt AS (SELECT unnest(sg) AS w FROM train),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tt GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM tt),
+bit AS (SELECT unnest(CASE WHEN len(sg) < 2 THEN [] ELSE
+  list_transform(range(2, len(sg) + 1), i -> {'w1': sg[i-1], 'w0': sg[i]}) END) AS b
+  FROM train),
+bi AS (SELECT b.w1 AS w1, b.w0 AS w0, CAST(count(*) AS BIGINT) AS c2
+  FROM bit GROUP BY 1, 2),
+trit AS (SELECT unnest(CASE WHEN len(sg) < 3 THEN [] ELSE
+  list_transform(range(3, len(sg) + 1),
+    i -> {'w2': sg[i-2], 'w1': sg[i-1], 'w0': sg[i]}) END) AS t
+  FROM train),
+tri AS (SELECT t.w2 AS w2, t.w1 AS w1, t.w0 AS w0,
+  CAST(count(*) AS BIGINT) AS c3 FROM trit GROUP BY 1, 2, 3),
+pos AS (SELECT doc_id, unnest(CASE WHEN len(sg) < 3 THEN [] ELSE
+  list_transform(range(3, len(sg) + 1),
+    i -> {'pos': i, 'w2': sg[i-2], 'w1': sg[i-1], 'w0': sg[i]}) END) AS p
+  FROM score),
+px AS (SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.w2, p.w1, p.w0 FROM pos),
+sc AS (SELECT px.doc_id, px.pos,
+  CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+       WHEN b.c2 IS NOT NULL THEN 0.4 * CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+       ELSE 0.4 * 0.4 * CAST(COALESCE(u0.c1, 0) AS DOUBLE) / CAST(stats.n_train AS DOUBLE)
+  END AS s,
+  CASE WHEN t.c3 IS NOT NULL THEN 'tri'
+       WHEN b.c2 IS NOT NULL THEN 'bi' ELSE 'uni' END AS tier
+  FROM px
+  LEFT JOIN tri t ON t.w2 = px.w2 AND t.w1 = px.w1 AND t.w0 = px.w0
+  LEFT JOIN bi bc ON bc.w1 = px.w2 AND bc.w0 = px.w1
+  LEFT JOIN bi b ON b.w1 = px.w1 AND b.w0 = px.w0
+  LEFT JOIN uni u1 ON u1.w = px.w1
+  LEFT JOIN uni u0 ON u0.w = px.w0
+  CROSS JOIN stats),
+agg AS (SELECT doc_id,
+  list_sort(list(struct_pack(pos := pos, s := s, tier := tier))) AS parts
+  FROM sc GROUP BY 1)
+SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_scored,
+  list_reduce(list_prepend(0.0, list_transform(parts, p -> p.s)), (x, y) -> x + y)
+    / CAST(len(parts) AS DOUBLE) AS sb_mean,
+  CAST(len(list_filter(parts, p -> p.tier = 'tri')) AS BIGINT) AS n_tri,
+  CAST(len(list_filter(parts, p -> p.tier = 'bi')) AS BIGINT) AS n_bi,
+  CAST(len(list_filter(parts, p -> p.tier = 'uni')) AS BIGINT) AS n_uni
+FROM agg ORDER BY doc_id""",
+
       // per-source ingest telemetry over the q65 verdicts: exact/near/new
       // split and a dup rate per delta source (re-crawl gating signal)
       "q70_ingest_report" -> s"""

@@ -352,7 +352,13 @@ object SparkEntry {
     // rebuilt with its duplicated spans stripped — the strip-all boilerplate
     // policy, vs the keep-one-copy doc-level ops q50/q53/q65
     "q72_strip_spans" -> ((s, dir) =>
-      operators.DedupOps.stripSpans(docs(s, dir)).orderBy("doc_id")))
+      operators.DedupOps.stripSpans(docs(s, dir)).orderBy("doc_id")),
+    // stupid-backoff trigram LM scoring (CCNet-style predictability filter):
+    // reference shard doc_id%5!=0 trains, the rest is scored; all three
+    // backoff tiers ACTIVE at sf0.01 (3729 tri / 1434 bi / 2 uni positions;
+    // 91 of 100 scored docs back off at least once)
+    "q73_lm_score" -> ((s, dir) =>
+      operators.TextOps.stupidBackoff(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

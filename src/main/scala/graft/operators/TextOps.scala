@@ -351,6 +351,104 @@ object TextOps {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP'07 — the backoff scheme designed
+    * FOR distributed n-gram counting) in the CCNet/perplexity-filter shape:
+    * an n-gram model trained on a reference shard scores the remaining
+    * shard, and low-predictability documents are the curation signal.
+    * Here the reference shard is `doc_id % holdoutMod != 0` and the scored
+    * shard the rest — scoring the training shard itself would be vacuous
+    * (every scored trigram would be its own evidence; backoff never fires).
+    *
+    * Per position i (full trigram context, i >= 3):
+    *   S = c3/c2ctx              when the trigram was seen in training,
+    *       0.4 * c2/c1ctx        else when the (w_{i-1}, w_i) bigram was,
+    *       0.4^2 * c1/N          else (c1 = 0 for out-of-vocabulary words).
+    * No log(): every tier is a quotient of exact longs (plus the 0.4
+    * constants) — exactly-rounded IEEE ops the oracle reproduces bit-for-
+    * bit — and the per-doc mean is a position-ordered FOLD over the parts
+    * array, never a float SUM aggregate (the q43 portability rule).
+    *
+    * Scale shape: the three count tables are narrow corpus aggregates
+    * ((long..., long) rows — text never shuffles); the probe joins key on
+    * gram tuples where the count side is pre-aggregated to ONE row per gram,
+    * so hot boilerplate trigrams skew the probe side only (AQE-splittable
+    * hash joins, no fan-out). The scalar N rides a broadcast; the per-doc
+    * fold is bounded by document length. Per-doc tier counts (n_tri/n_bi/
+    * n_uni) ride along so the output pins that all three tiers are ACTIVE
+    * on real data (at sf0.01: 3729 tri / 1434 bi / 2 uni positions, and 91
+    * of the 100 scored docs back off at least once).
+    */
+  def stupidBackoff(docs: DataFrame, holdoutMod: Int = 5): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      transform(tokens(col("text")), tokenSig(_)).as("sigs"))
+    val hold = pmod(col("doc_id"), lit(holdoutMod.toLong)) === 0L
+    val train = sigs.filter(!hold)
+
+    // positional full-trigram contexts for a shard: (doc_id, pos, w2, w1, w0)
+    // with pos >= 3; outer explode + isNotNull for the usual
+    // InferFiltersFromGenerate reason (see DedupOps.shingleIndex)
+    def triples(df: DataFrame) = df
+      .select(col("doc_id"), posexplode_outer(
+        when(size(col("sigs")) < 3,
+          array().cast("array<struct<w2:bigint,w1:bigint,w0:bigint>>"))
+          .otherwise(transform(sequence(lit(3), size(col("sigs"))), i =>
+            struct(element_at(col("sigs"), i - 2).as("w2"),
+              element_at(col("sigs"), i - 1).as("w1"),
+              element_at(col("sigs"), i).as("w0"))))).as(Seq("_p0", "t")))
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), (col("_p0") + 3).cast("long").as("pos"),
+        col("t.w2"), col("t.w1"), col("t.w0"))
+
+    val trainToks = train
+      .select(explode_outer(col("sigs")).as("w")).filter(col("w").isNotNull)
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val stats = trainToks.agg(count(lit(1)).as("n_train"))
+    val bi = train
+      .select(explode_outer(when(size(col("sigs")) < 2,
+        array().cast("array<struct<w1:bigint,w0:bigint>>"))
+        .otherwise(transform(sequence(lit(2), size(col("sigs"))), i =>
+          struct(element_at(col("sigs"), i - 1).as("w1"),
+            element_at(col("sigs"), i).as("w0"))))).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("b.w1").as("w1"), col("b.w0").as("w0"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = triples(train).groupBy("w2", "w1", "w0").agg(count(lit(1)).as("c3"))
+
+    triples(sigs.filter(hold))
+      .join(tri, Seq("w2", "w1", "w0"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w0").as("w1"),
+        col("c2").as("c2ctx")), Seq("w2", "w1"), "left")
+      .join(bi, Seq("w1", "w0"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1ctx")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w0"), col("c1")), Seq("w0"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2ctx").cast("double"))
+          .when(col("c2").isNotNull,
+            lit(0.4) * col("c2").cast("double") / col("c1ctx").cast("double"))
+          .otherwise(lit(0.4) * lit(0.4)
+            * coalesce(col("c1"), lit(0L)).cast("double")
+            / col("n_train").cast("double")))
+      .withColumn("tier",
+        when(col("c3").isNotNull, lit("tri"))
+          .when(col("c2").isNotNull, lit("bi")).otherwise(lit("uni")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("s"), col("tier")))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).cast("long").as("n_scored"),
+        (aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("s"))
+          / size(col("parts")).cast("double")).as("sb_mean"),
+        size(filter(col("parts"), p => p.getField("tier") === "tri"))
+          .cast("long").as("n_tri"),
+        size(filter(col("parts"), p => p.getField("tier") === "bi"))
+          .cast("long").as("n_bi"),
+        size(filter(col("parts"), p => p.getField("tier") === "uni"))
+          .cast("long").as("n_uni"))
+  }
+
   /** SimHash over token signatures, `bits` wide: bit j of the hash is the
     * sign of the sum over tokens of ±1 by bit j of the spread signature.
     * Implemented explode-side (shuffle on doc_id) — the shape that scales:

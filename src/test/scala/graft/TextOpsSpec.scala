@@ -145,4 +145,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == (50L, true), s"got ${out(1L)}")
     assert(out(2L) == (-6L, false), s"got ${out(2L)}")
   }
+
+  test("stupid backoff: tier selection, exact quotient arithmetic, holdout split") {
+    // train shard (id % 5 != 0): uni a:2 b:2 c:1 d:1 x:1 (N=7),
+    // bi (a,b):2 (b,c):1 (c,d):1 (b,x):1, tri (a,b,c) (b,c,d) (a,b,x)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x"),     // train
+      (0L, "a b c z d"),                  // scored: tri, uni(z OOV), uni(d)
+      (5L, "x b c"),                      // scored: bi tier only
+      (10L, "a b"))                       // scored but < 3 tokens: no row
+      .toDF("doc_id", "text")
+    val out = TextOps.stupidBackoff(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc0 pos3: tri (a,b,c) c3=1 / c2ctx(a,b)=2 = 0.5
+    //      pos4: (b,c,z) unseen, (c,z) unseen, z OOV -> 0.4^2 * 0/7 = 0.0
+    //      pos5: (c,z,d) unseen, (z,d) unseen, d seen -> 0.4^2 * 1/7
+    val exp0 = (((0.0 + 0.5) + 0.4 * 0.4 * 0.0 / 7.0) + 0.4 * 0.4 * 1.0 / 7.0) / 3.0
+    assert(out(0L) == (3L, exp0, 1L, 0L, 2L), s"doc0: ${out(0L)}")
+    // doc5 pos3: tri (x,b,c) unseen, bi (b,c)=1 / c1ctx(b)=2 -> 0.4 * 1/2
+    assert(out(5L) == (1L, 0.4 * 1.0 / 2.0, 0L, 1L, 0L), s"doc5: ${out(5L)}")
+    // scored docs shorter than a trigram produce no row; train docs never scored
+    assert(!out.contains(10L) && !out.contains(1L) && !out.contains(2L))
+  }
 }
