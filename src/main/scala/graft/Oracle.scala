@@ -802,6 +802,33 @@ SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_scored,
   CAST(len(list_filter(parts, p -> p.tier = 'uni')) AS BIGINT) AS n_uni
 FROM agg ORDER BY doc_id""",
 
+      // count-min-sketch heavy-hitter audit: 4x64 affine-hash counter grid
+      // vs the exact top-25 token counts; est = min over rows (CMS rule)
+      "q74_cms_audit" -> """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+ts AS (SELECT token,
+  CAST(ascii(token) * 131 + length(token) AS BIGINT) AS sig FROM tok),
+cj AS (SELECT sig, CAST(j AS BIGINT) AS j FROM ts
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+cb AS (SELECT j,
+  ((sig * (CASE j WHEN 0 THEN 131 WHEN 1 THEN 1031 WHEN 2 THEN 8191 ELSE 524287 END)
+    + (CASE j WHEN 0 THEN 7 WHEN 1 THEN 101 WHEN 2 THEN 3571 ELSE 91193 END))
+   % 1000000007) % 64 AS bucket FROM cj),
+counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2),
+topk AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM ts GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 25),
+pj AS (SELECT token, exact_cnt,
+  CAST(ascii(token) * 131 + length(token) AS BIGINT) AS sig, CAST(j AS BIGINT) AS j
+  FROM topk CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+pb AS (SELECT token, exact_cnt, j,
+  ((sig * (CASE j WHEN 0 THEN 131 WHEN 1 THEN 1031 WHEN 2 THEN 8191 ELSE 524287 END)
+    + (CASE j WHEN 0 THEN 7 WHEN 1 THEN 101 WHEN 2 THEN 3571 ELSE 91193 END))
+   % 1000000007) % 64 AS bucket FROM pj),
+est AS (SELECT token, exact_cnt, min(c) AS cms_est
+  FROM pb JOIN counters USING (j, bucket) GROUP BY 1, 2)
+SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+FROM est ORDER BY exact_cnt DESC, token""",
+
       // per-source ingest telemetry over the q65 verdicts: exact/near/new
       // split and a dup rate per delta source (re-crawl gating signal)
       "q70_ingest_report" -> s"""

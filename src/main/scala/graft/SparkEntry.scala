@@ -358,7 +358,13 @@ object SparkEntry {
     // backoff tiers ACTIVE at sf0.01 (3729 tri / 1434 bi / 2 uni positions;
     // 91 of 100 scored docs back off at least once)
     "q73_lm_score" -> ((s, dir) =>
-      operators.TextOps.stupidBackoff(docs(s, dir)).orderBy("doc_id")))
+      operators.TextOps.stupidBackoff(docs(s, dir)).orderBy("doc_id")),
+    // count-min-sketch heavy-hitter audit: 4x64 counter grid (fixed-size
+    // corpus-wide state) vs the exact top-25; overestimate rows = genuine
+    // hash collisions at this width
+    "q74_cms_audit" -> ((s, dir) =>
+      operators.TextOps.cmsHeavyHitters(docs(s, dir))
+        .orderBy(col("exact_cnt").desc, col("token"))))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

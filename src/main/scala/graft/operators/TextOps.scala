@@ -129,6 +129,53 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Count-min-sketch heavy-hitter AUDIT (Cormode & Muthukrishnan, "An
+    * Improved Data Stream Summary: The Count-Min Sketch", J.Alg'05): build
+    * the d x w counter grid over every token occurrence, then report, for
+    * the exact top-k tokens, the sketch estimate next to the true count and
+    * the (always >= 0) overestimate. The sketch is the 100 TB artifact:
+    * d*w counters (4 x 64 longs here) is the ENTIRE corpus-wide state — at
+    * scale the counter build is a map-side-combined aggregate whose reduce
+    * state is fixed-size regardless of corpus or vocabulary, which is the
+    * whole point versus the exact q34 vocab aggregate (per-token state).
+    * The audit join is against q34's exact top-k, so the output both pins
+    * the CMS arithmetic cross-engine and MEASURES the collision error at
+    * this width (overestimate > 0 rows are genuine collisions).
+    *
+    * Determinism: row hashes are fixed odd-constant affine maps over the
+    * token signature mod P then mod w — integer-only, oracle-identical.
+    * est(t) = min_j counter[j][h_j(t)] per the CMS guarantee
+    * est <= exact + eps*N with prob 1 - (1/2)^d at w = 2/eps.
+    */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 64,
+                      k: Int = 25): DataFrame = {
+    require(depth <= 4, "4 hash rows pinned (constant tables)")
+    val rowsJ = sequence(lit(0), lit(depth - 1))
+    val aLit = array(lit(131L), lit(1031L), lit(8191L), lit(524287L))
+    val bLit = array(lit(7L), lit(101L), lit(3571L), lit(91193L))
+    def bucket(sig: Column, j: Column) =
+      pmod(pmod(sig * element_at(aLit, j + 1) + element_at(bLit, j + 1),
+        lit(FpMod)), lit(width.toLong))
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    // counter grid: depth x width longs, partial-aggregated map-side — the
+    // reduce state is d*w rows no matter the corpus
+    val counters = toks
+      .select(tokenSig(col("token")).as("sig"), explode(rowsJ).as("j"))
+      .groupBy(col("j"), bucket(col("sig"), col("j")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val topk = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(k)
+    topk
+      .select(col("token"), col("exact_cnt"),
+        tokenSig(col("token")).as("sig"), explode(rowsJ).as("j"))
+      .withColumn("bucket", bucket(col("sig"), col("j")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("c").as("cms_est"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+  }
+
   /** PMI-ranked bigram collocations (phrase mining for tokenizer/vocab
     * curation): score(t1,t2) = P(t1 t2) / (P(t1) P(t2)) without the log —
     * log is monotone, so the RANKING is PMI's, and dropping it keeps every

@@ -168,4 +168,24 @@ class TextOpsSpec extends SparkSpec {
     // scored docs shorter than a trigram produce no row; train docs never scored
     assert(!out.contains(10L) && !out.contains(1L) && !out.contains(2L))
   }
+
+  test("CMS audit: est >= exact always; signature collisions overestimate by exactly the collider's mass") {
+    // "ab" and "ac" share tokenSig (same first byte + length) -> they land
+    // in the SAME bucket in every hash row: est = their combined count
+    val docs = Seq((0L, Array.fill(5)("ab").mkString(" ")),
+      (1L, Array.fill(3)("ac").mkString(" ")),
+      (2L, "xyz xyz")).toDF("doc_id", "text")
+    val out = TextOps.cmsHeavyHitters(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("ab") == (5L, 8L, 3L), s"ab: ${out.get("ab")}")
+    assert(out("ac") == (3L, 8L, 5L), s"ac: ${out.get("ac")}")
+    assert(out("xyz") == (2L, 2L, 0L), s"xyz: ${out.get("xyz")}")
+
+    // the CMS one-sided guarantee holds over a real corpus
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val audited = TextOps.cmsHeavyHitters(real).collect()
+    assert(audited.length == 25)
+    audited.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS must never underestimate: ${r}"))
+  }
 }
