@@ -829,6 +829,39 @@ est AS (SELECT token, exact_cnt, min(c) AS cms_est
 SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
 FROM est ORDER BY exact_cnt DESC, token""",
 
+      // Gopher within-doc repetition metrics: dup-2/3-gram + top-2-gram
+      // position shares (one integer division each), keep at thresholds
+      "q75_repetition" -> s"""
+WITH sg AS (SELECT doc_id, $sigsExpr AS sg FROM documents),
+big AS (SELECT doc_id, unnest(CASE WHEN len(sg) < 2 THEN [] ELSE
+  list_transform(range(1, len(sg)),
+    i -> (sg[i] * 131 + sg[i+1]) % 1000000007) END) AS g FROM sg),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS b_total,
+  CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS b_dup,
+  CAST(max(c) AS BIGINT) AS b_top FROM bc GROUP BY 1),
+trig AS (SELECT doc_id, unnest(CASE WHEN len(sg) < 3 THEN [] ELSE
+  list_transform(range(1, len(sg) - 1),
+    i -> (sg[i] * 17161 + sg[i+1] * 131 + sg[i+2]) % 1000000007) END) AS g FROM sg),
+tc AS (SELECT doc_id, g, count(*) AS c FROM trig GROUP BY 1, 2),
+tagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t_total,
+  CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS t_dup
+  FROM tc GROUP BY 1),
+m AS (SELECT d.doc_id,
+  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+  CASE WHEN b_total IS NULL OR b_total = 0 THEN 0.0
+       ELSE CAST(b_dup AS DOUBLE) / CAST(b_total AS DOUBLE) END AS dup2_frac,
+  CASE WHEN t_total IS NULL OR t_total = 0 THEN 0.0
+       ELSE CAST(t_dup AS DOUBLE) / CAST(t_total AS DOUBLE) END AS dup3_frac,
+  CASE WHEN b_total IS NULL OR b_total = 0 THEN 0.0
+       ELSE CAST(b_top AS DOUBLE) / CAST(b_total AS DOUBLE) END AS top2_frac
+  FROM documents d
+  LEFT JOIN bagg ON bagg.doc_id = d.doc_id
+  LEFT JOIN tagg ON tagg.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, dup2_frac, dup3_frac, top2_frac,
+  (dup2_frac <= 0.2 AND dup3_frac <= 0.18 AND top2_frac <= 0.18) AS keep
+FROM m ORDER BY doc_id""",
+
       // per-source ingest telemetry over the q65 verdicts: exact/near/new
       // split and a dup rate per delta source (re-crawl gating signal)
       "q70_ingest_report" -> s"""

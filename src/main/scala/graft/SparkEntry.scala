@@ -364,7 +364,11 @@ object SparkEntry {
     // hash collisions at this width
     "q74_cms_audit" -> ((s, dir) =>
       operators.TextOps.cmsHeavyHitters(docs(s, dir))
-        .orderBy(col("exact_cnt").desc, col("token"))))
+        .orderBy(col("exact_cnt").desc, col("token"))),
+    // Gopher repetition filters (the within-doc axis q40 does not cover):
+    // dup-2/3-gram + top-2-gram position shares, keep at paper thresholds
+    "q75_repetition" -> ((s, dir) =>
+      operators.TextOps.repetitionMetrics(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

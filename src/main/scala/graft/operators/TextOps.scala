@@ -398,6 +398,66 @@ object TextOps {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Within-document repetition metrics (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, §A1.1 repetition filters — the axis q40's
+    * length/punct/stopword rules do NOT cover): per document,
+    *
+    *   dup2_frac / dup3_frac — fraction of 2-/3-gram positions whose gram
+    *     occurs more than once in the SAME document,
+    *   top2_frac — the single most frequent 2-gram's share of positions
+    *
+    * (token-position shares; the paper uses character shares — a documented
+    * simplification, the ranking signal is the same), and a keep flag at
+    * the paper's thresholds (dup2 <= 0.20, dup3/top2 <= 0.18). All three
+    * are one integer division (exact longs -> one exactly-rounded IEEE op),
+    * so the oracle matches bit-for-bit.
+    *
+    * Scale shape: per-doc gram counting shuffles (doc_id, gram_code, count)
+    * only — text never leaves the map side — and both aggregates partial-
+    * combine; the group cardinality is bounded by document length, so the
+    * skew ceiling is the longest doc, never the corpus (same bound as
+    * q42/q49/q71). No corpus-wide state at all: this is the embarrassingly
+    * parallel end of the dedup spectrum.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    // one pass over text: the signature array feeds three consumers
+    // (n_tokens + both gram censuses), so it rides the release ledger
+    // instead of re-tokenizing per consumer
+    val sigs = Intermediates.persist(
+      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long")
+        .as("n_tokens"), transform(tokens(col("text")), tokenSig(_)).as("sigs")))
+    val biCodes = when(size(col("sigs")) < 2, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(col("sigs")) - 1), i =>
+        pmod(element_at(col("sigs"), i) * lit(131L)
+          + element_at(col("sigs"), i + 1), lit(FpMod))))
+    val triCodes = when(size(col("sigs")) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(col("sigs")) - 2), i =>
+        pmod(element_at(col("sigs"), i) * lit(131L * 131L)
+          + element_at(col("sigs"), i + 1) * lit(131L)
+          + element_at(col("sigs"), i + 2), lit(FpMod))))
+    def perDoc(codes: Column, pre: String) = sigs
+      .select(col("doc_id"), explode_outer(codes).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as(s"${pre}_total"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"${pre}_dup"),
+        max("c").as(s"${pre}_top"))
+    def frac(n: Column, d: Column) =
+      when(d.isNull || d === 0L, lit(0.0))
+        .otherwise(n.cast("double") / d.cast("double"))
+    sigs.select("doc_id", "n_tokens")
+      .join(perDoc(biCodes, "b"), Seq("doc_id"), "left")
+      .join(perDoc(triCodes, "t"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        frac(col("b_dup"), col("b_total")).as("dup2_frac"),
+        frac(col("t_dup"), col("t_total")).as("dup3_frac"),
+        frac(col("b_top"), col("b_total")).as("top2_frac"))
+      .withColumn("keep",
+        col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.18
+          && col("top2_frac") <= 0.18)
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al., "Large Language
     * Models in Machine Translation", EMNLP'07 — the backoff scheme designed
     * FOR distributed n-gram counting) in the CCNet/perplexity-filter shape:

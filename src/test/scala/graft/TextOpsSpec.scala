@@ -188,4 +188,19 @@ class TextOpsSpec extends SparkSpec {
     audited.foreach(r => assert(r.getLong(2) >= r.getLong(1),
       s"CMS must never underestimate: ${r}"))
   }
+
+  test("repetition metrics: alternating spam fails, clean prose keeps, degenerate docs are 0-frac") {
+    val docs = Seq(
+      (0L, "a b a b a b a b"),      // bigrams (a,b)x4 (b,a)x3: all duplicated
+      (1L, "c d e f g h i"),        // 6 unique bigrams: top2 = 1/6 <= 0.18
+      (2L, "z"))                    // no grams at all: fracs defined as 0
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(0L) == (8L, 1.0, 1.0, 4.0 / 7.0, false), s"spam: ${out(0L)}")
+    assert(out(1L) == (7L, 0.0, 0.0, 1.0 / 6.0, true), s"clean: ${out(1L)}")
+    assert(out(2L) == (1L, 0.0, 0.0, 0.0, true), s"degenerate: ${out(2L)}")
+    graft.operators.Intermediates.release(spark)
+  }
 }
