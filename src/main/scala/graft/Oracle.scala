@@ -420,7 +420,32 @@ SELECT conv_id, turn_idx,
   (COUNT(*) OVER (PARTITION BY text)) > 1 AS is_dup
 FROM t
 WINDOW w AS (PARTITION BY text ORDER BY conv_id, turn_idx)
-ORDER BY conv_id, turn_idx""") ++ dataOpsSql
+ORDER BY conv_id, turn_idx""",
+
+    // conversation schema validation: list_sort mirrors the engine's
+    // array_sort(struct(turn_idx, role, text)) tiebreak
+    "q76_conv_validate" -> s"""WITH $tCte,
+a AS (SELECT conv_id,
+  list_sort(list(struct_pack(turn_idx := turn_idx, role := role, text := text))) AS tt
+  FROM t GROUP BY 1),
+m AS (SELECT conv_id,
+  CAST(len(tt) AS BIGINT) AS n_turns,
+  CAST(len(list_distinct(list_transform(tt, x -> x.turn_idx))) AS BIGINT) AS nd,
+  CAST(list_max(list_transform(tt, x -> x.turn_idx)) AS BIGINT) AS mx,
+  CAST(list_min(list_transform(tt, x -> x.turn_idx)) AS BIGINT) AS mn,
+  tt[1].role AS first_role,
+  tt[len(tt)].role AS last_role,
+  CASE WHEN len(tt) < 2 THEN CAST(0 AS BIGINT) ELSE
+    CAST(len(list_filter(range(2, len(tt) + 1),
+      i -> tt[i].role = tt[i-1].role)) AS BIGINT) END AS n_role_repeats,
+  CAST(len(list_filter(tt, x -> length(x.text) = 0)) AS BIGINT) AS n_empty_turns
+  FROM a)
+SELECT conv_id, n_turns, n_turns - nd AS n_dup_turn_idx,
+  mx - mn + 1 - nd AS n_gaps, first_role, last_role,
+  n_role_repeats, n_empty_turns,
+  (n_turns - nd = 0 AND mx - mn + 1 - nd = 0 AND n_role_repeats = 0
+    AND n_empty_turns = 0 AND first_role = 'user') AS valid
+FROM m ORDER BY conv_id""") ++ dataOpsSql
 
   // ---------------------------------------------------------------------
   // Training-data operators over documents/embeddings (SparkEntry q20+)

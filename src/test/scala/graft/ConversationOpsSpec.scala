@@ -72,4 +72,29 @@ class ConversationOpsSpec extends SparkSpec {
       .linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
       "text column must not cross an exchange")
   }
+
+  test("conversation validation: each defect counter fires exactly on its defect") {
+    val turns = Seq(
+      ("good", 0, "user", "hi"), ("good", 1, "assistant", "hello"),
+      ("good", 2, "user", "more"), ("good", 3, "assistant", "done"),
+      ("dup", 0, "user", "a"), ("dup", 1, "assistant", "b"),
+      ("dup", 1, "tool", "c"), ("dup", 2, "assistant", "d"),
+      ("gap", 0, "user", "a"), ("gap", 1, "assistant", "b"), ("gap", 5, "user", "c"),
+      ("rep", 0, "user", "a"), ("rep", 1, "user", "b"), ("rep", 2, "assistant", "c"),
+      ("emp", 0, "user", ""), ("emp", 1, "assistant", "ok"),
+      ("solo", 7, "system", "lone"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = ConversationOps.validateConversations(turns).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7), r.getBoolean(8))).toMap
+    assert(out("good") == (4L, 0L, 0L, "user", "assistant", 0L, 0L, true))
+    // dup idx 1 twice: 1 duplicate, and NOT counted as a gap (0..2 distinct=3)
+    assert(out("dup") == (4L, 1L, 0L, "user", "assistant", 0L, 0L, false))
+    // idx {0,1,5}: span 6, distinct 3 -> 3 missing
+    assert(out("gap") == (3L, 0L, 3L, "user", "user", 0L, 0L, false))
+    assert(out("rep") == (3L, 0L, 0L, "user", "assistant", 1L, 0L, false))
+    assert(out("emp") == (2L, 0L, 0L, "user", "assistant", 0L, 1L, false))
+    // a single turn: no pairs to repeat, first == last, non-user opener
+    assert(out("solo") == (1L, 0L, 0L, "system", "system", 0L, 0L, false))
+  }
 }
