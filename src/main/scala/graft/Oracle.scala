@@ -854,6 +854,31 @@ est AS (SELECT token, exact_cnt, min(c) AS cms_est
 SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
 FROM est ORDER BY exact_cnt DESC, token""",
 
+      // DSIR-shaped importance weighting: hashed-bigram count vectors for
+      // the target (doc_id%50=0) and raw shards, add-1-smoothed ratio
+      // terms, position-ordered fold (mean likelihood ratio)
+      "q77_dsir_weights" -> s"""
+WITH sg AS (SELECT doc_id, $sigsExpr AS sg FROM documents),
+f AS (SELECT doc_id, unnest(CASE WHEN len(sg) < 2 THEN [] ELSE
+  list_transform(range(1, len(sg)),
+    i -> {'pos': i, 'b': ((sg[i] * 131 + sg[i+1]) % 1000000007) % 1024}) END) AS pb
+  FROM sg),
+fx AS (SELECT doc_id, CAST(pb.pos AS BIGINT) AS pos, CAST(pb.b AS BIGINT) AS b FROM f),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM fx
+  WHERE doc_id % 50 = 0 GROUP BY 1),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r_cnt FROM fx
+  WHERE doc_id % 50 <> 0 GROUP BY 1),
+sc AS (SELECT fx.doc_id, fx.pos,
+  CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE) / CAST(COALESCE(r.r_cnt, 0) + 1 AS DOUBLE) AS s
+  FROM fx LEFT JOIN tgt t ON t.b = fx.b LEFT JOIN raw r ON r.b = fx.b
+  WHERE fx.doc_id % 50 <> 0),
+agg AS (SELECT doc_id,
+  list_sort(list(struct_pack(pos := pos, s := s))) AS parts FROM sc GROUP BY 1)
+SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_feat,
+  list_reduce(list_prepend(0.0, list_transform(parts, p -> p.s)), (x, y) -> x + y)
+    / CAST(len(parts) AS DOUBLE) AS dsir_score
+FROM agg ORDER BY doc_id""",
+
       // Gopher within-doc repetition metrics: dup-2/3-gram + top-2-gram
       // position shares (one integer division each), keep at thresholds
       "q75_repetition" -> s"""

@@ -374,7 +374,12 @@ object SparkEntry {
     // (97/100 convs gapped, 19 open with user)
     "q76_conv_validate" -> ((s, dir) =>
       operators.ConversationOps.validateConversations(transcripts(s, dir))
-        .orderBy("conv_id")))
+        .orderBy("conv_id")),
+    // DSIR-shaped importance weighting: hashed-bigram target/raw count
+    // vectors (2x1024 longs of model state, broadcast), mean likelihood-
+    // ratio score per raw doc (ln-free portability surrogate, documented)
+    "q77_dsir_weights" -> ((s, dir) =>
+      operators.TextOps.dsirWeights(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -556,6 +556,64 @@ object TextOps {
           .cast("long").as("n_uni"))
   }
 
+  /** Hashed-n-gram importance weighting in the DSIR shape (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23): estimate a target distribution (here the benchmark-style
+    * shard `doc_id % 50 == 0`, the q39/q55/q66 convention) and the raw
+    * distribution over HASHED bigram features — a fixed B-bucket count
+    * vector each, the same fixed-size-state trick as the q74 sketch — and
+    * score every raw document by how target-like its features are.
+    *
+    * Portability surrogate, documented: DSIR's weight is
+    * sum_i log(p_tgt[b_i]/p_raw[b_i]); ln() is not exactly rounded the
+    * same across libms, so the score here is the position-ordered fold of
+    * the add-1-smoothed RATIO terms (t_b + 1)/(r_b + 1) divided by the
+    * feature count — a mean likelihood ratio rather than a mean log ratio.
+    * Monotone per term, deterministic to the bit (exact long division into
+    * double + ordered fold, the q43 rule); the selection behavior (rank by
+    * target-likeness, resample the top) is the paper's.
+    *
+    * Scale shape: both count vectors are <= B rows and BROADCAST to the
+    * probe; the only wide shuffle is the per-doc fold's groupBy — text
+    * never shuffles, and the model state is 2*B longs no matter the
+    * corpus. The hot-bucket failure mode of feature hashing shows up only
+    * as probe-side row skew into a pre-aggregated broadcast row: no
+    * fan-out (contrast the capped self-join generators, q51/q56/q57).
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      transform(tokens(col("text")), tokenSig(_)).as("sigs"))
+    val isTarget = pmod(col("doc_id"), lit(50L)) === 0L
+    // positional hashed-bigram features: (doc_id, pos, bucket)
+    def feats(df: DataFrame) = df
+      .select(col("doc_id"), posexplode_outer(
+        when(size(col("sigs")) < 2, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(1), size(col("sigs")) - 1), i =>
+            pmod(pmod(element_at(col("sigs"), i) * lit(131L)
+              + element_at(col("sigs"), i + 1), lit(FpMod)),
+              lit(buckets.toLong))))).as(Seq("_p0", "b")))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("b"))
+    val tgt = feats(sigs.filter(isTarget)).groupBy("b")
+      .agg(count(lit(1)).as("t_cnt"))
+    // the raw feature stream feeds both the count vector and the probe:
+    // one text pass, on the release ledger
+    val rawFeats = Intermediates.persist(feats(sigs.filter(!isTarget)))
+    val raw = rawFeats.groupBy("b").agg(count(lit(1)).as("r_cnt"))
+    rawFeats
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .withColumn("s",
+        (coalesce(col("t_cnt"), lit(0L)) + 1L).cast("double")
+          / (coalesce(col("r_cnt"), lit(0L)) + 1L).cast("double"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).cast("long").as("n_feat"),
+        (aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("s"))
+          / size(col("parts")).cast("double")).as("dsir_score"))
+  }
+
   /** SimHash over token signatures, `bits` wide: bit j of the hash is the
     * sign of the sum over tokens of ±1 by bit j of the spread signature.
     * Implemented explode-side (shuffle on doc_id) — the shape that scales:

@@ -203,4 +203,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == (1L, 0.0, 0.0, 0.0, true), s"degenerate: ${out(2L)}")
     graft.operators.Intermediates.release(spark)
   }
+
+  test("DSIR weights: target-identical raw doc scores 1.0, disjoint doc scores the smoothed floor") {
+    val docs = Seq(
+      (0L, "a aa aaa"),    // target shard (0 % 50 == 0)
+      (1L, "a aa aaa"),    // raw, feature-identical to target: every term (t+1)/(r+1) = 1
+      (2L, "m mm mmm"),    // raw, disjoint: t=0, r=own occurrence -> each term 1/2
+      (3L, "q"))           // raw, no bigram: no row
+      .toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (2L, 1.0), s"target-like: ${out.get(1L)}")
+    assert(out(2L) == (2L, 0.5), s"disjoint: ${out.get(2L)}")
+    assert(!out.contains(0L), "target docs are never scored")
+    assert(!out.contains(3L), "feature-less docs emit no row")
+    graft.operators.Intermediates.release(spark)
+  }
 }
