@@ -1429,6 +1429,23 @@ FROM sc ORDER BY vec_id""",
       "q52_cos_clusters" -> s"""WITH RECURSIVE $cosClusterCte
 SELECT vec_id, cluster_id FROM cl ORDER BY vec_id""",
 
+      // hard-negative mining: per-query cosine top-k excluding the query's
+      // own near-dup cluster (same components as q52)
+      "q78_hard_negatives" -> s"""WITH RECURSIVE $cosClusterCte,
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+  ${cos("q.qv", "e.embedding")} AS c
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+flt AS (SELECT sc.query_id, sc.neighbor_id, sc.c FROM sc
+  JOIN cl cq ON cq.vec_id = sc.query_id
+  JOIN cl cn ON cn.vec_id = sc.neighbor_id
+  WHERE cq.cluster_id <> cn.cluster_id),
+rk AS (SELECT query_id, neighbor_id, c,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM flt)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS cos_sim FROM rk
+WHERE rank <= 5 ORDER BY query_id, rank""",
+
       // the semantically-deduplicated embedding corpus (q50's analog):
       // one min-id keeper per cosine cluster + its cluster size
       "q53_embed_dedup" -> s"""WITH RECURSIVE $cosClusterCte,

@@ -379,7 +379,13 @@ object SparkEntry {
     // vectors (2x1024 longs of model state, broadcast), mean likelihood-
     // ratio score per raw doc (ln-free portability surrogate, documented)
     "q77_dsir_weights" -> ((s, dir) =>
-      operators.TextOps.dsirWeights(docs(s, dir)).orderBy("doc_id")))
+      operators.TextOps.dsirWeights(docs(s, dir)).orderBy("doc_id")),
+    // hard-negative mining: per-query top-k by cosine EXCLUDING the
+    // query's q52 near-dup cluster (transitive positives dropped, not just
+    // direct pairs) — the contrastive-training sample generator
+    "q78_hard_negatives" -> ((s, dir) =>
+      operators.SimilarityOps.hardNegatives(emb(s, dir))
+        .orderBy("query_id", "rank")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

@@ -511,6 +511,46 @@ object SimilarityOps {
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
+  /** Hard-negative mining for retrieval/embedding training: for each query
+    * vector, the highest-cosine neighbors that are NOT near-duplicates of
+    * it — the "close but wrong" samples contrastive training needs (the
+    * standard recipe: rank by similarity, drop the positives). "Positive"
+    * here = same [[cosineDupClusters]] component, so a neighbor connected
+    * to the query through a CHAIN of near-dups is excluded too (a plain
+    * `cos < threshold` band would keep those — transitively-duplicated
+    * rephrasings leaking in as negatives is exactly the label noise this
+    * op exists to prevent), and the op composes the q52 cluster stack
+    * instead of re-deriving pair predicates.
+    *
+    * Scale shape: queries broadcast (the q27 contract); the score stream
+    * is one scan of the vector table; the query-side cluster lookup
+    * broadcasts (nQueries rows), the neighbor-side label join keys on
+    * vec_id at the same width as the score stream ((long, long, double) —
+    * vectors never shuffle); the final per-query top-k is the bounded-heap
+    * partial + rank-window pattern shared with brute/LSH ANN.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                    dupThreshold: Double = 0.25): DataFrame = {
+    val clusters = cosineDupClusters(emb, dupThreshold)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val qc = clusters.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cluster_id").as("_qc"))
+    val nc = clusters
+      .select(col("vec_id").as("neighbor_id"), col("cluster_id").as("_nc"))
+    val negatives = scored
+      .join(broadcast(qc), Seq("query_id"))
+      .join(nc, Seq("neighbor_id"))
+      .filter(col("_qc") =!= col("_nc"))
+    topK(negatives, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** The semantically-deduplicated embedding corpus: one keeper (min
     * vec_id) per cosine cluster with its cluster size — the embedding-
     * space analog of DedupOps.dedupedCorpus (q50). The label table is

@@ -315,4 +315,26 @@ class SimilaritySpec extends SparkSpec {
     // and (2,3) is not emitted either because t3 is not s2's best
     assert(!out.contains((2L, 1L)) && !out.contains((2L, 3L)), s"non-mutual pair leaked: $out")
   }
+
+  test("hard negatives exclude the query's WHOLE dup cluster, not just direct near-dups") {
+    import spark.implicits._
+    import math.{cos => mcos, sin => msin, Pi}
+    // a 2D rotation fan (all components positive -> one sign bucket):
+    // 0-1 and 1-2 are 24-degree near-dups (cos ~0.913 >= 0.9) but 0-2 is
+    // 48 degrees (cos ~0.669 < 0.9) -> {0,1,2} is one cluster by CHAIN only
+    def v(deg: Double): Array[Float] = {
+      val th = deg * Pi / 180
+      Array(mcos(th).toFloat, msin(th).toFloat) ++ Array.fill(6)(0.001f)
+    }
+    val emb = Seq(
+      (0L, v(10)), (1L, v(34)), (2L, v(58)),   // the chain cluster
+      (3L, v(120)),                            // cos(0,3) ~ -0.34 (own bucket)
+      (4L, v(88)))                             // cos(0,4) ~ 0.21, cos(2,4) ~ 0.87 < 0.9
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.hardNegatives(emb, nQueries = 1, k = 2, dupThreshold = 0.9)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    // vec 2 has the HIGHEST cosine to the query among non-direct-dups — a
+    // pair-threshold band would rank it first; cluster exclusion drops it
+    assert(out == Map(1 -> 4L, 2 -> 3L), s"expected {1->4, 2->3}, got $out")
+  }
 }
