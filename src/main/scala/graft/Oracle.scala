@@ -995,6 +995,21 @@ SELECT doc_id,
    - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) >= 40 AS keep
 FROM documents ORDER BY doc_id""",
 
+      // curriculum ordering: naive global rank over (qm_score desc, doc_id)
+      // — the engine's two-level decomposition must match it row-for-row
+      "q79_curriculum" -> """
+WITH s AS (SELECT doc_id,
+  5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and')))
+  + len(string_split(text, ' '))
+  - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS qm_score
+  FROM documents),
+r AS (SELECT doc_id, qm_score,
+  CAST(row_number() OVER (ORDER BY qm_score DESC, doc_id) AS BIGINT) AS global_rank,
+  CAST(count(*) OVER () AS BIGINT) AS total FROM s)
+SELECT doc_id, qm_score, global_rank,
+  CAST((global_rank - 1) * 4 // total AS BIGINT) AS phase
+FROM r ORDER BY doc_id""",
+
       // winnowing fingerprint index (SIGMOD'03 window-minima selection over
       // positional 3-gram hashes, w=4) — the exploded (doc_id, fp) index
       "q61_winnow_fp" -> s"""

@@ -385,7 +385,12 @@ object SparkEntry {
     // direct pairs) — the contrastive-training sample generator
     "q78_hard_negatives" -> ((s, dir) =>
       operators.SimilarityOps.hardNegatives(emb(s, dir))
-        .orderBy("query_id", "rank")))
+        .orderBy("query_id", "rank")),
+    // curriculum ordering: global rank over (quality desc, doc_id) built
+    // two-level (histogram offsets + per-score windows), equal-population
+    // phase buckets — identical to the naive single-task rank
+    "q79_curriculum" -> ((s, dir) =>
+      operators.SampleOps.curriculumOrder(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

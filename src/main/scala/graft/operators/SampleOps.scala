@@ -222,6 +222,43 @@ object SampleOps {
         col("_prev_cum").as("prefix_tokens"), col("token_budget"))
   }
 
+  /** Curriculum ordering: a GLOBAL rank over (quality score desc, doc_id)
+    * plus a phase bucket (equal-population quantiles of the rank), i.e.
+    * "feed the model the cleanest shard first". The point is HOW the rank
+    * is built: not `row_number() OVER (ORDER BY ...)` — an unpartitioned
+    * rank window funnels the corpus through ONE task — but the two-level
+    * decomposition the q54/q58 mixes use:
+    *
+    *   1. a per-score histogram (narrow agg, one row per distinct integer
+    *      score — bounded by the score range, not the corpus),
+    *   2. exclusive prefix offsets over that HISTOGRAM (the only
+    *      unpartitioned window, score-range-sized, the same tiny-side
+    *      contract as q58's chunk offsets),
+    *   3. a per-score rank window (partitioned by score; skew ceiling =
+    *      the largest tie group) plus the broadcast offset.
+    *
+    * global_rank is IDENTICAL to the naive single-task rank (the oracle
+    * computes it that way); phase = ((rank-1) * phases) div total via
+    * integral `div` (the q42 floor-division portability rule).
+    */
+  def curriculumOrder(docs: DataFrame, phases: Int = 4): DataFrame = {
+    val scored = TextOps.qualityModelScore(docs).select("doc_id", "qm_score")
+    val hist = scored.groupBy("qm_score").agg(count(lit(1)).as("_n"))
+    val offsets = hist
+      .withColumn("_off",
+        sum(col("_n")).over(Window.orderBy(col("qm_score").desc)) - col("_n"))
+      .select("qm_score", "_off")
+    val stats = scored.agg(count(lit(1)).as("_total"))
+    scored.join(broadcast(offsets), Seq("qm_score"))
+      .crossJoin(broadcast(stats))
+      .withColumn("global_rank",
+        (col("_off") + row_number().over(
+          Window.partitionBy("qm_score").orderBy("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("qm_score"), col("global_rank"),
+        expr(s"((global_rank - 1) * ${phases}L) div _total").cast("long")
+          .as("phase"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")

@@ -189,4 +189,33 @@ class SampleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k should not globally sort the vocabulary:\n${plan.take(1500)}")
   }
+
+  test("curriculum order: two-level rank == naive global rank, incl. score ties; phases balance") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val out = SampleOps.curriculumOrder(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the naive single-window rank (fine at test scale) must agree on every row
+    val naive = TextOps.qualityModelScore(docs)
+      .withColumn("global_rank",
+        row_number().over(Window.orderBy(col("qm_score").desc, col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("global_rank"))).toMap
+    assert(out.size == naive.size)
+    naive.foreach { case (id, (score, rank)) =>
+      assert(out(id)._1 == score && out(id)._2 == rank,
+        s"doc $id: two-level ${out(id)} vs naive ($score, $rank)")
+    }
+    // ties exist in the fixture (else the per-score window is vacuous)
+    assert(naive.values.map(_._1).toSeq.distinct.size < naive.size,
+      "fixture must contain tied scores")
+    // equal-population phases: with N divisible by 4 the split is exact
+    val byPhase = out.values.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L), s"phases: $byPhase")
+    assert(byPhase.values.max - byPhase.values.min <= 1, s"unbalanced: $byPhase")
+    // the corpus-side rank window is PARTITIONED (by qm_score) — the
+    // histogram offsets are the only unpartitioned window
+    val plan = SampleOps.curriculumOrder(docs).queryExecution.executedPlan.toString()
+    assert(plan.contains("windowspecdefinition(qm_score"),
+      s"expected a qm_score-partitioned rank window:\n${plan.take(2000)}")
+  }
 }
