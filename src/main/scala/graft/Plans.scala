@@ -36,6 +36,16 @@ object Plans {
     show("q27_ann_brute", SparkEntry.queries("q27_ann_brute")(spark, dir))
     show("q45_ivf_ann (frozen quantizer serving path)",
       SparkEntry.queries("q45_ivf_ann")(spark, dir))
+    show("q71_dup_spans (positional index + island merge)",
+      SparkEntry.queries("q71_dup_spans")(spark, dir))
+    show("q72_strip_spans (span-removal rebuild)",
+      SparkEntry.queries("q72_strip_spans")(spark, dir))
+    show("q73_lm_score (stupid-backoff joins + ordered fold)",
+      SparkEntry.queries("q73_lm_score")(spark, dir))
+    show("q77_dsir_weights (broadcast count vectors)",
+      SparkEntry.queries("q77_dsir_weights")(spark, dir))
+    show("q79_curriculum (two-level rank)",
+      SparkEntry.queries("q79_curriculum")(spark, dir))
     spark.stop()
   }
 }

@@ -242,7 +242,14 @@ object SampleOps {
     * integral `div` (the q42 floor-division portability rule).
     */
   def curriculumOrder(docs: DataFrame, phases: Int = 4): DataFrame = {
-    val scored = TextOps.qualityModelScore(docs).select("doc_id", "qm_score")
+    // persisted for two reasons: (a) three consumers (histogram, total,
+    // probe) = one text pass instead of three; (b) the InMemoryRelation is
+    // a pushdown BARRIER — without it the join-inferred isnotnull(qm_score)
+    // substitutes through the alias and lands the whole quality expression
+    // in a Filter below the repartition, i.e. on the single input split
+    // (the 138s-vs-1.5s lesson from shingleIndex)
+    val scored = Intermediates.persist(
+      TextOps.qualityModelScore(docs).select("doc_id", "qm_score"))
     val hist = scored.groupBy("qm_score").agg(count(lit(1)).as("_n"))
     val offsets = hist
       .withColumn("_off",

@@ -490,7 +490,10 @@ object TextOps {
     val sigs = docs.select(col("doc_id"),
       transform(tokens(col("text")), tokenSig(_)).as("sigs"))
     val hold = pmod(col("doc_id"), lit(holdoutMod.toLong)) === 0L
-    val train = sigs.filter(!hold)
+    // the train shard feeds THREE count tables (uni/bi/tri): tokenize it
+    // once and keep the signature arrays on the release ledger instead of
+    // re-scanning text per table (the two-consumers Catalyst lesson)
+    val train = Intermediates.persist(sigs.filter(!hold))
 
     // positional full-trigram contexts for a shard: (doc_id, pos, w2, w1, w0)
     // with pos >= 3; outer explode + isNotNull for the usual
