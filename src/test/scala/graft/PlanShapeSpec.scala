@@ -132,6 +132,23 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.Router.rmrf(java.nio.file.Paths.get(outPath))
   }
 
+  test("curriculum rank: the quality expression never reappears under an inferred isnotnull") {
+    // without the persist barrier, the offsets join's inferred
+    // isnotnull(qm_score) substitutes through the alias and evaluates the
+    // WHOLE quality expression in a Filter below the repartition — on the
+    // single input split (the shingleIndex 138s lesson). Fixed shape: the
+    // only isnotnull is over the cached attribute, so no plan line may
+    // carry the trap signature (isnotnull over the raw text expression).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val plan = graft.operators.SampleOps.curriculumOrder(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("isnotnull") && l.contains("split(text")),
+      s"quality expression pushed under isnotnull:\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan"), "persist barrier missing")
+    graft.operators.Intermediates.release(spark)
+  }
+
   test("AQE and its skew-join re-plan are active in the session the pipeline runs under") {
     // cosineDupPairs' hot-bucket fan-out and the lifecycle join rely on
     // runtime re-planning; pin the confs so a builder change can't
