@@ -422,6 +422,19 @@ FROM t
 WINDOW w AS (PARTITION BY text ORDER BY conv_id, turn_idx)
 ORDER BY conv_id, turn_idx""",
 
+    // ingest dup-rate timeline: first occurrence by (ts, conv, turn) per
+    // text group, per-hour dup fraction
+    "q83_dup_timeline" -> s"""WITH $tCte,
+dupt AS (SELECT conv_id, turn_idx, ts2 AS ts,
+  row_number() OVER (PARTITION BY text ORDER BY ts2, conv_id, turn_idx) AS rn
+  FROM t)
+SELECT date_trunc('hour', ts) AS window_start,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM dupt GROUP BY 1 ORDER BY 1""",
+
     // conversation schema validation: list_sort mirrors the engine's
     // array_sort(struct(turn_idx, role, text)) tiebreak
     "q76_conv_validate" -> s"""WITH $tCte,
@@ -995,6 +1008,50 @@ SELECT doc_id,
    - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) >= 40 AS keep
 FROM documents ORDER BY doc_id""",
 
+      // per-source shard report card: volume, q67 keep rate, exact-dup rate
+      "q84_source_report" -> """
+WITH q AS (SELECT doc_id, source,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+  (5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and')))
+   + len(string_split(text, ' '))
+   - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) >= 40 AS keep,
+  (count(*) OVER (PARTITION BY text)) > 1 AS isdup
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS keep_rate,
+  CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM q GROUP BY source ORDER BY source""",
+
+      // BPE merge learning: 3 rounds over the word-frequency vocab; the
+      // double-space symbol encoding makes each merge one replace()
+      "q80_bpe_merges" -> {
+        def round(prev: String, n: Int): String = s"""
+p$n AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+  SELECT freq,
+    unnest(list_transform(range(1, len(syms)), i -> {'a': syms[i], 'b': syms[i+1]})) AS pr
+  FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM $prev)) GROUP BY 1, 2),
+t$n AS (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+s$n AS (SELECT freq,
+  replace(seq, ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS seq
+  FROM $prev CROSS JOIN t$n t)"""
+        s"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+s0 AS (SELECT freq,
+  ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '  ') || ' ' AS seq
+  FROM v0),
+${round("s0", 1)},
+${round("s1", 2)},
+${round("s2", 3)}
+SELECT CAST(1 AS INT) AS round, a AS merge_left, b AS merge_right, cnt AS pair_count FROM t1
+UNION ALL SELECT CAST(2 AS INT), a, b, cnt FROM t2
+UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM t3
+ORDER BY round"""
+      },
+
       // curriculum ordering: naive global rank over (qm_score desc, doc_id)
       // — the engine's two-level decomposition must match it row-for-row
       "q79_curriculum" -> """
@@ -1073,6 +1130,38 @@ SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM bands x JOIN bands y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ORDER BY doc_a, doc_b""",
+
+      // minhash estimator calibration: signature-agreement Jaccard estimate
+      // vs exact shingle Jaccard per LSH candidate pair
+      "q82_minhash_audit" -> {
+        val agree = (0 until 16)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+WITH base AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sigs AS (SELECT doc_id,
+    $minhashCols
+  FROM base),
+bands AS (
+  $bandRows),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+j AS (SELECT c.doc_a, c.doc_b,
+  CAST(($agree) AS DOUBLE) / 16.0 AS jaccard_est,
+  CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+    / CAST(len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+    AS jaccard_exact
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_a
+  JOIN sigs b ON b.doc_id = c.doc_b
+  JOIN base ba ON ba.doc_id = c.doc_a
+  JOIN base bb ON bb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard_est, jaccard_exact,
+  abs(jaccard_est - jaccard_exact) AS abs_err
+FROM j ORDER BY doc_a, doc_b"""
+      },
 
       // the CAPPED banding configuration — the occupancy preconditioning
       // the 100 TB path runs (band-buckets holding more than `cap` docs
@@ -1213,6 +1302,26 @@ c AS (
   FROM s)
 SELECT doc_id, source, n_tokens, CAST(prev_cum // 256 AS BIGINT) AS pack_id
 FROM c ORDER BY doc_id""",
+
+      // packing-efficiency telemetry over the q42 assignment: per-source
+      // pack count, token totals, mean fill vs the budget
+      "q81_pack_efficiency" -> """
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prev_cum
+  FROM s),
+p AS (SELECT source, CAST(prev_cum // 256 AS BIGINT) AS pack_id, n_tokens FROM c),
+pp AS (SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS tok FROM p GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(tok) AS BIGINT) AS total_tokens,
+  CAST(max(tok) AS BIGINT) AS max_pack_tokens,
+  CAST(sum(tok) AS DOUBLE) / CAST(count(*) * 256 AS DOUBLE) AS mean_fill
+FROM pp GROUP BY source ORDER BY source""",
 
       // WAV decode oracle: recompute the expected header fields from the
       // wavMediaTable doc_id arithmetic (the engine parses actual bytes;

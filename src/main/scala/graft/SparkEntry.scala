@@ -390,7 +390,29 @@ object SparkEntry {
     // two-level (histogram offsets + per-score windows), equal-population
     // phase buckets — identical to the naive single-task rank
     "q79_curriculum" -> ((s, dir) =>
-      operators.SampleOps.curriculumOrder(docs(s, dir)).orderBy("doc_id")))
+      operators.SampleOps.curriculumOrder(docs(s, dir)).orderBy("doc_id")),
+    // BPE merge learning (ACL'16): first 3 merges over the word-frequency
+    // vocab — one corpus pass, then vocab-sized rounds; lexicographic ties
+    "q80_bpe_merges" -> ((s, dir) =>
+      operators.TextOps.bpeMerges(docs(s, dir)).orderBy("round")),
+    // packing-efficiency telemetry (batch-slot utilization sheet): per
+    // source over the q42 assignment
+    "q81_pack_efficiency" -> ((s, dir) =>
+      operators.SampleOps.packEfficiency(docs(s, dir)).orderBy("source")),
+    // MinHash estimator calibration: per-candidate signature-implied
+    // Jaccard vs exact shingle Jaccard + |err| (the q74 audit pattern on
+    // the dedup stack)
+    "q82_minhash_audit" -> ((s, dir) =>
+      operators.DedupOps.minhashAudit(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    // ingest dup-rate timeline (q69's census on the time axis): per-hour
+    // turn counts + re-ingest fraction, digest-keyed, text never shuffles
+    "q83_dup_timeline" -> ((s, dir) =>
+      operators.ConversationOps.ingestDupTimeline(transcripts(s, dir))
+        .orderBy("window_start")),
+    // per-source shard report card: volume + q67 keep rate + exact-dup
+    // rate, one row per ingestion source
+    "q84_source_report" -> ((s, dir) =>
+      operators.TextOps.sourceQualityReport(docs(s, dir)).orderBy("source")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

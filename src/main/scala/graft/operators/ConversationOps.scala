@@ -59,6 +59,35 @@ object ConversationOps {
         col("n_copies"), (col("n_copies") > 1).as("is_dup"))
   }
 
+  /** Ingest dup-rate TIMELINE: per hour of event time, how many turns
+    * arrived and what fraction were re-ingests of content already seen
+    * earlier (first occurrence by (ts, conv_id, turn_idx) lexicographic
+    * minimum — deterministic under any partitioning). This is q69's dup
+    * census projected onto the time axis: the monitoring curve an ingest
+    * pipeline alarms on (a dup-rate step change means a crawler loop or a
+    * replayed source batch).
+    *
+    * Scale shape: same digest-keyed contract as [[turnDedup]] — the text
+    * itself never crosses an exchange, only (digest, ts, conv, turn);
+    * first-occurrence is one narrow min-struct aggregate; the timeline is
+    * a per-hour aggregate with map-side combine. No windows over the
+    * corpus, no state proportional to anything but distinct digests.
+    */
+  def ingestDupTimeline(transcripts: DataFrame): DataFrame = {
+    val keyed = transcripts.select(col("conv_id"), col("turn_idx"), col("ts"),
+      md5(col("text").cast("binary")).as("_digest"))
+    val firsts = keyed.groupBy("_digest")
+      .agg(min(struct(col("ts"), col("conv_id"), col("turn_idx"))).as("_first"))
+    keyed.join(firsts, Seq("_digest"))
+      .withColumn("_is_dup",
+        struct(col("ts"), col("conv_id"), col("turn_idx")) =!= col("_first"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("_is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_turns").cast("double"))
+  }
+
   /** Gap-based sessionization: a new session starts at the first turn of a
     * conversation and whenever the inter-turn gap exceeds `gapSec`. The
     * classic two-window shape — a lag to flag session starts, a running sum

@@ -566,6 +566,43 @@ object DedupOps {
     withShingles(docs).select(col("doc_id"), sig.as("minhash"))
   }
 
+  /** MinHash estimator CALIBRATION audit — the q74 audit pattern applied to
+    * the dedup stack: for every LSH candidate pair, the Jaccard ESTIMATE
+    * the signature implies (fraction of agreeing minhash positions, the
+    * unbiased estimator the banding scheme is built on) next to the EXACT
+    * shingle Jaccard, plus the absolute error. A curation run tracks this
+    * to size k (signature width) against the threshold it actually bands
+    * for: systematic |err| near the banding threshold means the signature
+    * is too narrow for the corpus' similarity profile.
+    *
+    * Scale shape: the (shingles, minhash) table is computed in ONE text
+    * pass and persisted for both candidate-side joins; full shingle arrays
+    * travel ONLY for candidate pairs (banding has already cut the
+    * quadratic space), and every per-pair op (position agreement, list
+    * intersection) is array arithmetic inside the row — no further
+    * shuffle. Estimate and exact are each a single long division.
+    */
+  def minhashAudit(docs: DataFrame, k: Int = 16, r: Int = 4): DataFrame = {
+    val sigExpr = array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(col("_codes"), c => pmod(c * a + b, lit(P))))
+    }: _*)
+    val tab = Intermediates.persist(withShingles(docs)
+      .select(col("doc_id"), col("_codes").as("sh"), sigExpr.as("minhash")))
+    lshCandidates(docs, k, r)
+      .join(tab.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("minhash").as("ma")), Seq("doc_a"))
+      .join(tab.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("minhash").as("mb")), Seq("doc_b"))
+      .withColumn("_inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), p => p))
+          .cast("double") / lit(k.toDouble)).as("jaccard_est"),
+        (col("_inter").cast("double")
+          / (size(col("sha")).cast("long") + size(col("shb")).cast("long")
+            - col("_inter")).cast("double")).as("jaccard_exact"))
+      .withColumn("abs_err", abs(col("jaccard_est") - col("jaccard_exact")))
+  }
+
   /** Near-dup CLUSTER resolution: connected components over the LSH
     * candidate graph, so every document maps to one cluster keeper (the
     * component's min doc_id) — the step a real dedup pipeline runs after

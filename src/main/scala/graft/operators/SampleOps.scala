@@ -266,6 +266,26 @@ object SampleOps {
           .as("phase"))
   }
 
+  /** Packing-efficiency telemetry over [[packSequences]]: per source, how
+    * many packs the shard fills, the total/max tokens per pack and the
+    * mean fill fraction against the budget — the utilization sheet that
+    * decides whether the packing budget is sized right for a shard (under-
+    * filled packs waste accelerator batch slots 1:1). Composes the q42
+    * assignment unchanged; two narrow aggregates on top ((source, pack_id)
+    * then source), one exact-long division for the fill fraction.
+    */
+  def packEfficiency(docs: DataFrame, budget: Int = 256): DataFrame =
+    packSequences(docs, budget)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum("tok").as("total_tokens"),
+        max("tok").as("max_pack_tokens"),
+        (sum("tok").cast("double")
+          / (count(lit(1)) * lit(budget.toLong)).cast("double")).as("mean_fill"))
+
   def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     val nTok = size(TextOps.tokens(col("text"))).cast("long")

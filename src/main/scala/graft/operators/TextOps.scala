@@ -559,6 +559,90 @@ object TextOps {
           .cast("long").as("n_uni"))
   }
 
+  /** Per-source shard REPORT CARD — the curation dashboard row a data
+    * vendor review reads per ingestion source: document/token volume, the
+    * frozen quality model's keep rate (q67) and the exact-duplicate rate
+    * (q20's census), aggregated per source. Pure composition of existing
+    * verdicts: at 100 TB each input is a narrow id-keyed column (flag or
+    * count), the joins key on doc_id at verdict width, and the report is
+    * one map-side-combined aggregate over |sources| groups.
+    */
+  def sourceQualityReport(docs: DataFrame): DataFrame = {
+    val qm = qualityModelScore(docs).select(col("doc_id"), col("keep"))
+    val digests = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("_d"))
+    val dupFlag = digests
+      .join(digests.groupBy("_d").agg(count(lit(1)).as("_n")), Seq("_d"))
+      .select(col("doc_id"), (col("_n") > 1).as("_isdup"))
+    docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("_nt"))
+      .join(qm, Seq("doc_id"))
+      .join(dupFlag, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_nt").as("total_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("_isdup"), 1L).otherwise(0L)).as("n_exact_dup"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"),
+        (col("n_exact_dup").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
+
+  /** BPE merge learning (Sennrich et al., "Neural Machine Translation of
+    * Rare Words with Subword Units", ACL'16) — the tokenizer-training
+    * artifact: the first `merges` byte-pair merges over the corpus, each
+    * round picking the most frequent adjacent symbol pair (ties broken
+    * lexicographically, so the table is deterministic cross-engine).
+    *
+    * Scale shape — the reason BPE training is tractable at 100 TB: after
+    * ONE corpus pass builds the word-frequency VOCAB, every merge round
+    * runs over the vocab table only (distinct words x freq — bounded by
+    * vocabulary, not corpus), as a narrow pair-count aggregate + a scalar
+    * top-1 probe to the driver (the legitimate scalar-probe category, same
+    * as the IVF seeds). Symbol sequences use the classic space-joined
+    * string encoding with DOUBLE-space separators and sentinel edges, so
+    * a merge is one non-overlapping left-to-right `replace` — identical
+    * semantics in Spark and DuckDB, no per-symbol loop.
+    */
+  def bpeMerges(docs: DataFrame, merges: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab0 = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        array_join(
+          when(length(col("w")) === 0, array().cast("array<string>"))
+            .otherwise(expr(
+              "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+          "  "), lit(" ")).as("seq"))
+    var vocab = vocab0.localCheckpoint(true)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to merges) {
+      val top = vocab
+        .select(col("freq"), split(trim(col("seq")), "  ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round, a, b, cnt))
+        vocab = vocab.withColumn("seq",
+          replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    learned.result().toDF("round", "merge_left", "merge_right", "pair_count")
+      .select(col("round"), col("merge_left"), col("merge_right"), col("pair_count"))
+  }
+
   /** Hashed-n-gram importance weighting in the DSIR shape (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS'23): estimate a target distribution (here the benchmark-style

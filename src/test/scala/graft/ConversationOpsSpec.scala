@@ -73,6 +73,24 @@ class ConversationOpsSpec extends SparkSpec {
       "text column must not cross an exchange")
   }
 
+  test("dup timeline: re-ingests count against their own hour; same-ts ties break on conv_id") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val turns = Seq(
+      ("c1", 0, ts("2026-01-01 10:05:00"), "dup"),   // first occurrence
+      ("c2", 3, ts("2026-01-01 10:20:00"), "dup"),   // re-ingest, hour 10
+      ("c3", 1, ts("2026-01-01 11:30:00"), "dup"),   // re-ingest, hour 11
+      ("c1", 1, ts("2026-01-01 10:40:00"), "uniq"),
+      ("a1", 0, ts("2026-01-01 12:00:00"), "tie"),   // same ts: a1 < a2 keeps
+      ("a2", 0, ts("2026-01-01 12:00:00"), "tie"))
+      .toDF("conv_id", "turn_idx", "ts", "text")
+    val out = ConversationOps.ingestDupTimeline(turns).collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2026-01-01 10:00:00.0") == (3L, 1L, 1.0 / 3.0), s"h10: $out")
+    assert(out("2026-01-01 11:00:00.0") == (1L, 1L, 1.0), s"h11: $out")
+    assert(out("2026-01-01 12:00:00.0") == (2L, 1L, 0.5), s"h12: $out")
+  }
+
   test("conversation validation: each defect counter fires exactly on its defect") {
     val turns = Seq(
       ("good", 0, "user", "hi"), ("good", 1, "assistant", "hello"),

@@ -398,4 +398,25 @@ class DedupSpec extends SparkSpec {
     assert(cleanLoose(2L) == ("k kk", 10L) && cleanLoose(3L) == ("l ll", 10L))
     graft.operators.Intermediates.release(spark)
   }
+
+  test("minhash audit: identical docs estimate 1.0 with zero error; err is exactly |est - exact|") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base), (1L, base),                    // byte-identical: certain banding
+      (2L, base + " extra trailing tokens here"), // superset: may band
+      (3L, "zz yy xx ww vv uu tt ss rr qq"))      // disjoint: must never pair
+      .toDF("doc_id", "text")
+    val rows = DedupOps.minhashAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (est01, ex01, err01) = rows((0L, 1L))
+    assert(est01 == 1.0 && ex01 == 1.0 && err01 == 0.0, s"(0,1): ${rows((0L, 1L))}")
+    rows.values.foreach { case (est, ex, err) =>
+      assert(est >= 0.0 && est <= 1.0 && ex > 0.0 && ex <= 1.0)
+      assert(err == math.abs(est - ex), "err must be exactly |est - exact|")
+    }
+    assert(!rows.keys.exists(k => k._1 == 3L || k._2 == 3L),
+      "disjoint docs must not generate a candidate")
+    graft.operators.Intermediates.release(spark)
+  }
 }

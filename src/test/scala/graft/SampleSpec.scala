@@ -190,6 +190,21 @@ class SampleSpec extends SparkSpec {
       s"top-k should not globally sort the vocabulary:\n${plan.take(1500)}")
   }
 
+  test("pack efficiency: straddle semantics can overfill, tail packs underfill; exact fill fractions") {
+    val docs = Seq(
+      (1L, "a b c d", "x"),            // 4 tokens, prev 0  -> pack 0
+      (2L, "a b c d e", "x"),          // 5 tokens, prev 4  -> pack 0
+      (3L, "a b c d", "x"),            // 4 tokens, prev 9  -> pack 0 (straddles)
+      (4L, "a b c d e f g h i", "x"),  // 9 tokens, prev 13 -> pack 1
+      (5L, "a b c", "y"))              // 3 tokens           -> pack 0
+      .toDF("doc_id", "text", "source")
+    val out = SampleOps.packEfficiency(docs, budget = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // x: pack0 holds 13 tokens (doc3 starts below the boundary), pack1 holds 9
+    assert(out("x") == (2L, 22L, 13L, 22.0 / 20.0), s"x: ${out("x")}")
+    assert(out("y") == (1L, 3L, 3L, 3.0 / 10.0), s"y: ${out("y")}")
+  }
+
   test("curriculum order: two-level rank == naive global rank, incl. score ties; phases balance") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)

@@ -219,4 +219,31 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(3L), "feature-less docs emit no row")
     graft.operators.Intermediates.release(spark)
   }
+
+  test("source report card: per-source volume, keep rate, dup rate") {
+    val theTen = Seq.fill(10)("the").mkString(" ")  // qm 5*10+10 = 60 -> keep
+    val docs = Seq(
+      (0L, theTen, "x"), (1L, theTen, "x"),  // byte-identical pair: both dup
+      (2L, "zz!!! aa", "x"),                 // qm 2 - 24 = -22 -> drop
+      (3L, "a b", "y"))                      // qm 5 + 2 = 7 -> drop, no dup
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceQualityReport(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("x") == (3L, 22L, 2.0 / 3.0, 2.0 / 3.0), s"x: ${out("x")}")
+    assert(out("y") == (1L, 2L, 0.0, 0.0), s"y: ${out("y")}")
+  }
+
+  test("BPE merges reproduce the ACL'16 worked example, ties broken lexicographically") {
+    // the classic fixture: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower")
+      ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, merges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (e,s) 9 ties (s,t) 9 -> 'e' < 's'; round 2: (es,t) 9;
+    // round 3: (l,o) 7 ties (o,w) 7 -> 'l' < 'o'
+    assert(out.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)),
+      s"got ${out.toSeq}")
+  }
 }
