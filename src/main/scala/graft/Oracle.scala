@@ -1008,6 +1008,53 @@ SELECT doc_id,
    - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) >= 40 AS keep
 FROM documents ORDER BY doc_id""",
 
+      // the composed curation pipeline: dedup keepers -> quality -> shingle
+      // decontamination -> budget mix over SURVIVORS, per-stage verdicts
+      "q85_curation" -> s"""
+WITH d AS (SELECT doc_id,
+  (doc_id = MIN(doc_id) OVER (PARTITION BY text)) AS keeper FROM documents),
+q AS (SELECT doc_id,
+  (5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and')))
+   + len(string_split(text, ' '))
+   - 8 * strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) >= 40 AS qkeep
+  FROM documents),
+sb AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+sidx AS (SELECT doc_id, unnest(sh) AS shingle FROM sb),
+bench AS (SELECT DISTINCT shingle FROM sidx WHERE doc_id % 50 = 0),
+scand AS (SELECT doc_id, shingle FROM sidx WHERE doc_id % 50 <> 0),
+sm AS (SELECT doc_id, count(*) AS n_matched FROM scand JOIN bench USING (shingle) GROUP BY 1),
+ssz AS (SELECT doc_id, count(*) AS n_shingles FROM scand GROUP BY 1),
+dec AS (SELECT b.doc_id,
+  (CASE WHEN coalesce(ssz.n_shingles, 0) = 0 THEN 0.0
+        ELSE CAST(coalesce(sm.n_matched, 0) AS DOUBLE) / CAST(ssz.n_shingles AS DOUBLE)
+   END) >= 0.5 AS contam
+  FROM documents b LEFT JOIN ssz ON ssz.doc_id = b.doc_id
+  LEFT JOIN sm ON sm.doc_id = b.doc_id
+  WHERE b.doc_id % 50 <> 0),
+flags AS (SELECT b.doc_id, b.source, b.text, d.keeper, q.qkeep, dec.contam
+  FROM documents b JOIN d USING (doc_id) JOIN q USING (doc_id) JOIN dec USING (doc_id)),
+surv AS (SELECT doc_id, source,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  ((doc_id % 999983) * 2654435761) % 999983 AS mix_key
+  FROM flags WHERE keeper AND qkeep AND NOT contam),
+cum AS (SELECT doc_id, source,
+  SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_key, doc_id) - n_tokens AS prev_cum
+  FROM surv),
+bud AS (SELECT 'src' || CAST(r AS VARCHAR) AS source,
+  CAST(1000 + (r % 5) * 1000 AS BIGINT) AS token_budget FROM range(0, 20) t(r)),
+sel AS (SELECT cum.doc_id FROM cum JOIN bud USING (source)
+  WHERE cum.prev_cum < bud.token_budget)
+SELECT f.doc_id, f.source,
+  f.keeper AS dedup_keeper, f.qkeep AS quality_keep, NOT f.contam AS decontam_keep,
+  (sel.doc_id IS NOT NULL) AS selected,
+  CASE WHEN NOT f.keeper THEN 'exact_dup'
+       WHEN NOT f.qkeep THEN 'quality'
+       WHEN f.contam THEN 'contaminated'
+       WHEN sel.doc_id IS NOT NULL THEN 'selected'
+       ELSE 'over_budget' END AS verdict
+FROM flags f LEFT JOIN sel ON sel.doc_id = f.doc_id
+ORDER BY f.doc_id""",
+
       // per-source shard report card: volume, q67 keep rate, exact-dup rate
       "q84_source_report" -> """
 WITH q AS (SELECT doc_id, source,

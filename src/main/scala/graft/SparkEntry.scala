@@ -412,7 +412,12 @@ object SparkEntry {
     // per-source shard report card: volume + q67 keep rate + exact-dup
     // rate, one row per ingestion source
     "q84_source_report" -> ((s, dir) =>
-      operators.TextOps.sourceQualityReport(docs(s, dir)).orderBy("source")))
+      operators.TextOps.sourceQualityReport(docs(s, dir)).orderBy("source")),
+    // the composed curation pipeline (capstone): dedup -> quality ->
+    // decontaminate -> mix, with per-stage attribution; the oracle
+    // recomputes the whole chain independently
+    "q85_curation" -> ((s, dir) =>
+      operators.SampleOps.curationPipeline(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

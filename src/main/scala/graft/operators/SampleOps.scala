@@ -266,6 +266,57 @@ object SampleOps {
           .as("phase"))
   }
 
+  /** The composed CURATION PIPELINE — the capstone query: every document
+    * routed through the canonical pretraining curation sequence
+    *
+    *   exact dedup (q20 keepers) -> quality model (q67) ->
+    *   benchmark decontamination (q39) -> token-budget mix (q54)
+    *
+    * with per-stage attribution: each non-benchmark document gets its
+    * stage verdicts plus a single `verdict` string naming the FIRST stage
+    * that dropped it (or `selected` / `over_budget` for survivors). This
+    * is the end-to-end evidence the individually-verified operators
+    * compose: the oracle recomputes the whole chain independently and the
+    * row set must match bit-for-bit, including the subtle interactions —
+    * a document whose exact-dup keeper is a BENCHMARK doc is dropped as a
+    * dup (keepers are computed over the full corpus before the bench
+    * exclusion), and the mix window runs over SURVIVORS only, so its
+    * prefix sums differ from q54's corpus-wide ones.
+    *
+    * Scale shape: each stage is the already-audited operator unchanged; a
+    * production run materializes stage outputs to the staged store
+    * (Router-style) rather than recomputing the text scans per stage —
+    * the composition here is the semantic contract, not the IO plan.
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val dups = DedupOps.exactDups(docs).select(col("doc_id"),
+      (col("doc_id") === col("keeper_doc_id")).as("_keeper"))
+    val qm = TextOps.qualityModelScore(docs)
+      .select(col("doc_id"), col("keep").as("_qkeep"))
+    // inner join against the decontamination verdicts drops benchmark
+    // docs from the report entirely (they are not training candidates)
+    val dec = DedupOps.decontaminate(docs)
+      .select(col("doc_id"), col("is_contaminated"))
+    val flags = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(dups, Seq("doc_id")).join(qm, Seq("doc_id")).join(dec, Seq("doc_id"))
+    val survivors = flags
+      .filter(col("_keeper") && col("_qkeep") && !col("is_contaminated"))
+      .select("doc_id", "source", "text")
+    val selected = mixByTokenBudget(survivors, defaultBudgets(docs.sparkSession))
+      .select(col("doc_id"), lit(true).as("_sel"))
+    flags.join(selected, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("_keeper").as("dedup_keeper"),
+        col("_qkeep").as("quality_keep"),
+        (!col("is_contaminated")).as("decontam_keep"),
+        coalesce(col("_sel"), lit(false)).as("selected"),
+        when(!col("_keeper"), lit("exact_dup"))
+          .when(!col("_qkeep"), lit("quality"))
+          .when(col("is_contaminated"), lit("contaminated"))
+          .when(coalesce(col("_sel"), lit(false)), lit("selected"))
+          .otherwise(lit("over_budget")).as("verdict"))
+  }
+
   /** Packing-efficiency telemetry over [[packSequences]]: per source, how
     * many packs the shard fills, the total/max tokens per pack and the
     * mean fill fraction against the budget — the utilization sheet that

@@ -205,6 +205,41 @@ class SampleSpec extends SparkSpec {
     assert(out("y") == (1L, 3L, 3L, 3.0 / 10.0), s"y: ${out("y")}")
   }
 
+  test("curation pipeline: first failing stage wins; bench-keeper dups drop; budget truncates survivors") {
+    def alt(stop: String, pre: String, pairs: Int) =
+      (1 to pairs).map(i => s"$stop ${pre}$i").mkString(" ")
+    val bench = Seq.fill(30)("the").mkString(" ")       // id 0: the bench doc
+    val docs = Seq(
+      (0L, bench, "src1"),
+      (1L, alt("the", "k", 20), "src1"),                 // clean keeper -> selected
+      (51L, alt("the", "k", 20), "src1"),                // byte-dup of 1 -> exact_dup
+      (52L, bench, "src1"),                              // dup whose KEEPER is the bench doc
+      (2L, "zz!!!!", "src1"),                            // fails quality
+      (3L, Seq.fill(9)("the").mkString(" ") + " qq", "src1"), // 1/2 shingles from bench
+      (4L, alt("the", "m", 20), "src1"),                 // clean -> selected
+      (5L, alt("of", "f5x", 300), "src0"),               // 600 tokens each; src0
+      (6L, alt("of", "f6x", 300), "src0"),               //  budget 1000: prefix rule
+      (7L, alt("of", "f7x", 300), "src0"))               //  admits 2, drops 1
+      .toDF("doc_id", "text", "source")
+    val out = SampleOps.curationPipeline(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getString(6))).toMap
+    assert(!out.contains(0L), "bench docs are not training candidates")
+    assert(out(1L) == (true, true, true, true, "selected"), s"1: ${out(1L)}")
+    assert(out(51L)._5 == "exact_dup" && !out(51L)._1)
+    // the subtle one: 52's keeper is the BENCH doc -> still an exact_dup drop
+    assert(out(52L)._5 == "exact_dup", s"52: ${out(52L)}")
+    assert(out(2L)._5 == "quality" && out(2L)._1, s"2: ${out(2L)}")
+    assert(out(3L)._5 == "contaminated" && out(3L)._2, s"3: ${out(3L)}")
+    assert(out(4L)._5 == "selected")
+    // src0 survivors: 3 x 600 tokens against budget 1000 -> prefix rule
+    // (prev_cum < budget) admits exactly two, the third is over_budget
+    val trio = Seq(5L, 6L, 7L).map(out(_)._5)
+    assert(trio.count(_ == "selected") == 2 && trio.count(_ == "over_budget") == 1,
+      s"trio: $trio")
+    graft.operators.Intermediates.release(spark)
+  }
+
   test("curriculum order: two-level rank == naive global rank, incl. score ties; phases balance") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
