@@ -165,6 +165,9 @@ class DedupSpec extends SparkSpec {
       "winnowFingerprints" -> DedupOps.winnowFingerprints(docs),
       "containmentPairs" -> DedupOps.containmentPairs(docs, 0.5),
       "incrementalDedup" -> DedupOps.incrementalDedup(docs),
+      "dupSpans" -> DedupOps.dupSpans(docs, 2),
+      "stripSpans" -> DedupOps.stripSpans(docs, 2),
+      "minhashAudit" -> DedupOps.minhashAudit(docs),
       "simhash" -> graft.operators.TextOps.simhash(docs))) {
       val scans = df.queryExecution.executedPlan.toString.linesIterator
         .filter(_.contains("FileScan")).mkString("\n")
