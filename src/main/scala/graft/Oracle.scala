@@ -1239,6 +1239,16 @@ ORDER BY doc_a, doc_b""",
 WITH RECURSIVE $clusterCte
 SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
 
+      // leakage-free split: permille bucket of the CLUSTER id, whole
+      // components land in one split
+      "q86_cluster_split" -> s"""
+WITH RECURSIVE $clusterCte
+SELECT doc_id, cluster_id,
+  CASE WHEN ((cluster_id % 999983) * 2654435761) % 1000 < 100 THEN 'test'
+       WHEN ((cluster_id % 999983) * 2654435761) % 1000 < 200 THEN 'val'
+       ELSE 'train' END AS split
+FROM cl ORDER BY doc_id""",
+
       // the end of the dedup story: materialize the CLEAN corpus — one
       // keeper (min doc_id) per near-dup cluster, with its cluster size
       "q50_dedup_corpus" -> s"""

@@ -417,7 +417,11 @@ object SparkEntry {
     // decontaminate -> mix, with per-stage attribution; the oracle
     // recomputes the whole chain independently
     "q85_curation" -> ((s, dir) =>
-      operators.SampleOps.curationPipeline(docs(s, dir)).orderBy("doc_id")))
+      operators.SampleOps.curationPipeline(docs(s, dir)).orderBy("doc_id")),
+    // leakage-free split: split key = hash of the near-dup CLUSTER keeper,
+    // so rephrasings never straddle train/val/test
+    "q86_cluster_split" -> ((s, dir) =>
+      operators.SampleOps.clusterSplit(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

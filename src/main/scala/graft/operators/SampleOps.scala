@@ -266,6 +266,32 @@ object SampleOps {
           .as("phase"))
   }
 
+  /** LEAKAGE-FREE train/val/test split: the split key is a deterministic
+    * hash of the document's near-dup CLUSTER keeper (q32's connected
+    * components), not of the document — so a template, its rephrasings,
+    * and everything transitively chained to them land in the SAME split.
+    * Hashing doc_ids directly is the classic eval-leakage bug: a val doc's
+    * near-duplicate sits in train and the eval measures memorization.
+    * Same permille-bucket arithmetic as [[stratifiedSample]] (pure
+    * function of the keeper id: re-runs, retries and corpus appends that
+    * do not touch a cluster keep its split).
+    *
+    * Scale shape: cluster resolution is the already-audited star
+    * contraction ((long, long) labels only); the split assignment is one
+    * map over the label table. Text is never touched after shingling.
+    */
+  def clusterSplit(docs: DataFrame, valPermille: Int = 100,
+                   testPermille: Int = 100): DataFrame = {
+    val bucket = pmod(pmod(col("cluster_id"), lit(999983L)) * lit(2654435761L),
+      lit(SampleBuckets))
+    DedupOps.dupClusters(docs)
+      .withColumn("_b", bucket)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("_b") < testPermille, lit("test"))
+          .when(col("_b") < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** The composed CURATION PIPELINE — the capstone query: every document
     * routed through the canonical pretraining curation sequence
     *

@@ -205,6 +205,30 @@ class SampleSpec extends SparkSpec {
     assert(out("y") == (1L, 3L, 3L, 3.0 / 10.0), s"y: ${out("y")}")
   }
 
+  test("cluster split: whole near-dup components share a split; assignment is a pure function") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    val out = SampleOps.clusterSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+    val byCluster = out.groupBy(_._2._1)
+    // every component is split-pure
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.map(_._2._2).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // the guarantee is non-vacuous: multi-doc clusters exist, and at least
+    // one contains docs whose DOC-keyed permille buckets differ (a naive
+    // doc_id hash would have torn it apart)
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture must contain near-dup clusters")
+    def docBucket(id: Long) = ((id % 999983L) * 2654435761L) % 1000L
+    def side(b: Long) = if (b < 100) "test" else if (b < 200) "val" else "train"
+    assert(multi.values.exists(ms => ms.map(m => side(docBucket(m._1))).distinct.length > 1),
+      "no cluster demonstrates the doc-hash tear — fixture too small")
+    // deterministic re-run
+    val again = SampleOps.clusterSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("curation pipeline: first failing stage wins; bench-keeper dups drop; budget truncates survivors") {
     def alt(stop: String, pre: String, pairs: Int) =
       (1 to pairs).map(i => s"$stop ${pre}$i").mkString(" ")
