@@ -1178,6 +1178,32 @@ FROM bands x JOIN bands y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ORDER BY doc_a, doc_b""",
 
+      // content-defined chunking: rolling-gram cutpoints (code % 16 == 0),
+      // per-chunk ordered polynomial hash + shared-block census
+      "q87_cdc_chunks" -> s"""
+WITH sg AS (SELECT doc_id, $sigsExpr AS sgs, $kgramsExpr AS kg FROM documents),
+px AS (SELECT doc_id,
+  unnest(list_transform(range(1, len(sgs) + 1),
+    i -> {'pos': i, 'sig': sgs[i],
+          'cut': CASE WHEN i <= len(kg) AND kg[i] % 16 = 0 THEN 1 ELSE 0 END})) AS p
+  FROM sg),
+px2 AS (SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.sig AS sig, p.cut AS cut FROM px),
+ci AS (SELECT doc_id, pos, sig,
+  CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos) - cut AS BIGINT) AS chunk_idx
+  FROM px2),
+ch AS (SELECT doc_id, chunk_idx, CAST(min(pos) AS BIGINT) AS start_pos,
+  CAST(max(pos) AS BIGINT) AS end_pos, CAST(count(*) AS BIGINT) AS n_tokens,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(list_sort(list(struct_pack(pos := pos, sig := sig))), q -> q.sig)),
+    (acc, s) -> (acc * 131 + s) % 1000000007) AS chunk_hash
+  FROM ci GROUP BY 1, 2),
+cs AS (SELECT chunk_hash, n_tokens,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing FROM ch GROUP BY 1, 2)
+SELECT c.doc_id, c.chunk_idx, c.start_pos, c.end_pos, c.n_tokens, c.chunk_hash,
+  cs.n_docs_sharing
+FROM ch c JOIN cs USING (chunk_hash, n_tokens)
+ORDER BY c.doc_id, c.chunk_idx""",
+
       // minhash estimator calibration: signature-agreement Jaccard estimate
       // vs exact shingle Jaccard per LSH candidate pair
       "q82_minhash_audit" -> {

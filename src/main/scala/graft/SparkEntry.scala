@@ -421,7 +421,12 @@ object SparkEntry {
     // leakage-free split: split key = hash of the near-dup CLUSTER keeper,
     // so rephrasings never straddle train/val/test
     "q86_cluster_split" -> ((s, dir) =>
-      operators.SampleOps.clusterSplit(docs(s, dir)).orderBy("doc_id")))
+      operators.SampleOps.clusterSplit(docs(s, dir)).orderBy("doc_id")),
+    // content-defined chunking (LBFS/rsync family): variable chunks cut at
+    // rolling-hash anchors + shared-block census — boundaries survive
+    // prefix edits, unlike fixed-width blocks
+    "q87_cdc_chunks" -> ((s, dir) =>
+      operators.DedupOps.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

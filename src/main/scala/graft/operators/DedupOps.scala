@@ -566,6 +566,61 @@ object DedupOps {
     withShingles(docs).select(col("doc_id"), sig.as("minhash"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync family — Muthitacharoen et
+    * al., "A Low-Bandwidth Network File System", SOSP'01): cut a document
+    * into VARIABLE-size chunks at positions where the rolling content hash
+    * satisfies `hash % modulus == 0`, so chunk boundaries are anchored to
+    * CONTENT, not offsets — insert one token at the front of a document
+    * and fixed-width blocks all shift (every block hash changes) while CDC
+    * boundaries re-synchronize after the edit. This is the dedup family
+    * the shingle/fingerprint stack does not cover: storage-style shared-
+    * block detection across near-identical long documents.
+    *
+    * Mechanics: the positional 3-gram code at token position p (the same
+    * rolling window as q71) cuts AFTER p when `code % modulus == 0`; a
+    * token's chunk index is the count of cutpoints strictly before it
+    * (running sum per doc — one window ordered by pos, skew ceiling = the
+    * longest document). Each chunk's identity is the order-sensitive
+    * polynomial fold of its token signatures mod P (exact int64 cross-
+    * engine), and `n_docs_sharing` counts distinct documents carrying an
+    * identical (hash, length) chunk — the shared-block census.
+    *
+    * Scale shape: one text pass to the positional index; the chunk
+    * assembly shuffles (doc_id, pos, sig) triples once; the census is a
+    * narrow aggregate on (hash, len) with map-side combine. Expected
+    * chunk size = `modulus` tokens — size the modulus to the target block
+    * size exactly as a storage system does.
+    */
+  def cdcChunks(docs: DataFrame, modulus: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = docs
+      .withColumn("_sigs", transform(tokens(col("text")), tokenSig(_)))
+      .withColumn("_k", kgramCodesFrom(col("_sigs")))
+      .select(col("doc_id"), col("_k"),
+        posexplode_outer(col("_sigs")).as(Seq("_p0", "sig")))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("sig"),
+        // the gram AT pos cuts after pos; positions past n-2 have no gram
+        when(element_at(col("_k"), (col("_p0") + 1).cast("int")).isNotNull
+          && pmod(element_at(col("_k"), (col("_p0") + 1).cast("int")),
+            lit(modulus.toLong)) === 0L, 1L).otherwise(0L).as("_cut"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val chunks = idx
+      .withColumn("chunk_idx", (sum(col("_cut")).over(w) - col("_cut")).cast("long"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("sig")))),
+            p => p.getField("sig")),
+          lit(0L), (acc, s) => pmod(acc * lit(131L) + s, lit(P))).as("chunk_hash"))
+    val census = chunks.groupBy("chunk_hash", "n_tokens")
+      .agg(countDistinct("doc_id").as("n_docs_sharing"))
+    chunks.join(census, Seq("chunk_hash", "n_tokens"))
+      .select("doc_id", "chunk_idx", "start_pos", "end_pos", "n_tokens",
+        "chunk_hash", "n_docs_sharing")
+  }
+
   /** MinHash estimator CALIBRATION audit — the q74 audit pattern applied to
     * the dedup stack: for every LSH candidate pair, the Jaccard ESTIMATE
     * the signature implies (fraction of agreeing minhash positions, the

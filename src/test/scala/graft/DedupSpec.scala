@@ -402,6 +402,36 @@ class DedupSpec extends SparkSpec {
     graft.operators.Intermediates.release(spark)
   }
 
+  test("CDC chunks: boundaries re-sync after a prefix edit; spans tile the doc; census sees both docs") {
+    def tok(i: Int) = (('a' + i % 26).toChar).toString * (1 + i % 7)
+    val a = (0 until 60).map(tok).mkString(" ")
+    val docs = Seq((0L, a), (1L, "zz " + a)).toDF("doc_id", "text")
+    // rows: (doc, chunk_idx) -> (start, end, n_tokens, hash, n_sharing)
+    val out = DedupOps.cdcChunks(docs, modulus = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // chunk spans tile each document exactly: contiguous, start 1, end n
+    for ((d, n) <- Seq((0L, 60L), (1L, 61L))) {
+      val spans = out.filter(_._1._1 == d).toSeq.sortBy(_._1._2).map(_._2)
+      assert(spans.head._1 == 1L && spans.last._2 == n, s"doc $d ends: $spans")
+      spans.sliding(2).foreach {
+        case Seq(x, y) => assert(y._1 == x._2 + 1, s"doc $d gap at ${x._2}")
+        case _ =>
+      }
+      spans.foreach(s => assert(s._3 == s._2 - s._1 + 1))
+    }
+    val aChunks = out.filter(_._1._1 == 0L).toSeq.sortBy(_._1._2).map(_._2)
+    val bHashes = out.filter(_._1._1 == 1L).values.map(_._4).toSet
+    assert(aChunks.length >= 2, s"fixture must cut at least once: ${aChunks.length}")
+    // every chunk of A after the first reappears in B bit-identically —
+    // the content-anchored property a fixed-width blocking scheme lacks
+    // (one prepended token would shift and rewrite every block)
+    aChunks.tail.foreach { case (_, _, _, h, share) =>
+      assert(bHashes.contains(h), s"chunk $h lost after prefix edit")
+      assert(share == 2L, s"shared chunk must census 2 docs: $share")
+    }
+  }
+
   test("minhash audit: identical docs estimate 1.0 with zero error; err is exactly |est - exact|") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
