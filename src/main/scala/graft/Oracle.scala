@@ -1099,6 +1099,35 @@ UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM t3
 ORDER BY round"""
       },
 
+      // BPE serving: the same 3 learned merges applied on the vocab, then
+      // per-word symbol counts joined back to the token stream
+      "q88_bpe_apply" -> {
+        def round(prev: String, n: Int): String = s"""
+p$n AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+  SELECT freq,
+    unnest(list_transform(range(1, len(syms)), i -> {'a': syms[i], 'b': syms[i+1]})) AS pr
+  FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM $prev)) GROUP BY 1, 2),
+t$n AS (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+s$n AS (SELECT w, freq,
+  replace(seq, ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS seq
+  FROM $prev CROSS JOIN t$n t)"""
+        s"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+s0 AS (SELECT w, freq,
+  ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '  ') || ' ' AS seq
+  FROM v0),
+${round("s0", 1)},
+${round("s1", 2)},
+${round("s2", 3)},
+ws AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_syms FROM s3)
+SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(ws.n_syms) AS BIGINT) AS n_symbols,
+  CAST(sum(ws.n_syms) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS syms_per_token
+FROM tok JOIN ws ON ws.w = tok.w
+GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+      },
+
       // curriculum ordering: naive global rank over (qm_score desc, doc_id)
       // — the engine's two-level decomposition must match it row-for-row
       "q79_curriculum" -> """

@@ -426,7 +426,11 @@ object SparkEntry {
     // rolling-hash anchors + shared-block census — boundaries survive
     // prefix edits, unlike fixed-width blocks
     "q87_cdc_chunks" -> ((s, dir) =>
-      operators.DedupOps.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")))
+      operators.DedupOps.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
+    // BPE serving: vocab-level merge application + per-doc compression
+    // (symbols per token under the 3 learned merges)
+    "q88_bpe_apply" -> ((s, dir) =>
+      operators.TextOps.bpeApply(docs(s, dir)).orderBy("doc_id")))
 
   // documents/embeddings ship as ONE parquet file each = one input split;
   // spread them so per-doc compute (shingling, hashing, dot products)

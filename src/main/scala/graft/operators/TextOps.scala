@@ -607,11 +607,15 @@ object TextOps {
     * a merge is one non-overlapping left-to-right `replace` — identical
     * semantics in Spark and DuckDB, no per-symbol loop.
     */
-  def bpeMerges(docs: DataFrame, merges: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
+  /** Shared BPE trainer: returns the learned merge table AND the vocab
+    * with post-merge symbol sequences (the serving artifact [[bpeApply]]
+    * joins against). See [[bpeMerges]] for the algorithm notes.
+    */
+  private def bpeLearn(docs: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val vocab0 = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(lit(" "),
+      .select(col("w"), col("freq"), concat(lit(" "),
         array_join(
           when(length(col("w")) === 0, array().cast("array<string>"))
             .otherwise(expr(
@@ -638,9 +642,39 @@ object TextOps {
           .localCheckpoint(true)
       }
     }
+    (learned.result(), vocab)
+  }
+
+  def bpeMerges(docs: DataFrame, merges: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    learned.result().toDF("round", "merge_left", "merge_right", "pair_count")
+    bpeLearn(docs, merges)._1
+      .toDF("round", "merge_left", "merge_right", "pair_count")
       .select(col("round"), col("merge_left"), col("merge_right"), col("pair_count"))
+  }
+
+  /** BPE SERVING — apply the learned merges to the corpus: the actual
+    * tokenization step after [[bpeMerges]] trains. The key scale property:
+    * merges are applied on the VOCAB (distinct words), never on the token
+    * stream — per-word post-merge symbol counts then join back to the
+    * exploded corpus on the token string, so the heavy replace chain runs
+    * |vocab| times regardless of corpus size (the standard trick real BPE
+    * tokenizers use: a word-level cache in front of the merge loop).
+    * Output per document: token count, post-merge symbol count, and the
+    * symbols-per-token ratio (the compression the learned merges buy —
+    * 1.0 would mean every token fused to one symbol; chars/token is the
+    * no-merge ceiling).
+    */
+  def bpeApply(docs: DataFrame, merges: Int = 3): DataFrame = {
+    val wordSyms = bpeLearn(docs, merges)._2
+      .select(col("w").as("token"),
+        size(split(trim(col("seq")), "  ")).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(wordSyms, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_syms").as("n_symbols"))
+      .withColumn("syms_per_token",
+        col("n_symbols").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Hashed-n-gram importance weighting in the DSIR shape (Xie et al.,

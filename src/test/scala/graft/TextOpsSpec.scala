@@ -245,5 +245,14 @@ class TextOpsSpec extends SparkSpec {
     // round 3: (l,o) 7 ties (o,w) 7 -> 'l' < 'o'
     assert(out.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)),
       s"got ${out.toSeq}")
+
+    // serving: after (e,s), (es,t), (l,o) the words tokenize to
+    // low=[lo w]=2, lower=[lo w e r]=4, newest=[n e w est]=4, widest=[w i d est]=4
+    val applied = TextOps.bpeApply(docs, merges = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nTok = 5 + 2 + 6 + 3
+    val nSym = 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4
+    assert(applied(0L) == (nTok.toLong, nSym.toLong, nSym.toDouble / nTok.toDouble),
+      s"applied: ${applied(0L)}")
   }
 }
