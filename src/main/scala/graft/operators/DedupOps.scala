@@ -128,9 +128,21 @@ object DedupOps {
         idx.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
     val sizes = capped.groupBy("doc_id").agg(count("*").as("n_shingles"))
-    val inter = capped.as("a").join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pair generation as ONE exchange of the index: group each shingle's
+    // (distinct) doc list, sort it for a canonical order, and expand the
+    // a<b combinations with array lambdas — replacing the former
+    // self-join, which exchanged AND sorted the persisted index twice
+    // (both SMJ sides) to produce the same multiset of candidate rows
+    // (guide §2.4: keyed-alike operations share one exchange). Per-group
+    // fan-out is unchanged — f docs on a shingle still emit f(f-1)/2
+    // pairs — and the list itself is bounded by maxShingleDocFreq on the
+    // capped scale path.
+    val inter = capped.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+      .select(explode(flatten(transform(col("_ds"), (x, i) =>
+        transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
+      .groupBy(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
       .agg(count("*").as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
@@ -321,9 +333,17 @@ object DedupOps {
         idx.join(broadcast(hot), Seq("fp"), "left_anti")
       }
     val sizes = capped.groupBy("doc_id").agg(count("*").as("n_fp"))
-    val inter = capped.as("a").join(capped.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Same single-exchange pair expansion as jaccardPairs, but emitting
+    // BOTH directions per combination (containment is asymmetric), which
+    // is exactly the doc_a =!= doc_b row set the former two-exchange
+    // self-join produced.
+    val inter = capped.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+      .select(explode(flatten(flatten(transform(col("_ds"), (x, i) =>
+        transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
+          y => array(struct(x.as("doc_a"), y.as("doc_b")),
+            struct(y.as("doc_a"), x.as("doc_b")))))))).as("_p"))
+      .groupBy(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
       .agg(count("*").as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "n_a"), "doc_a")
@@ -537,9 +557,16 @@ object DedupOps {
       .filter(col("shingle").isNotNull)
       .distinct())
     val sizes = idx.groupBy("source").agg(count("*").as("n"))
-    idx.as("a").join(idx.as("b"), "shingle")
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // Single-exchange pair expansion (see jaccardPairs): sources per
+    // shingle are DISTINCT and few, so each shingle's sorted source list
+    // expands to the same source_a < source_b rows the former self-join
+    // produced with two exchanges of the index.
+    idx.groupBy("shingle")
+      .agg(sort_array(collect_list(col("source"))).as("_ss"))
+      .select(explode(flatten(transform(col("_ss"), (x, i) =>
+        transform(slice(col("_ss"), i + lit(2), size(col("_ss"))),
+          y => struct(x.as("sa"), y.as("sb")))))).as("_p"))
+      .groupBy(col("_p.sa").as("source_a"), col("_p.sb").as("source_b"))
       .agg(count("*").as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
@@ -709,18 +736,30 @@ object DedupOps {
     // one star half-round: link each u's neighbors on one side of u to
     // m = min(closed neighborhood of u); m <= every emitted v, so (m, v)
     // is already canonical. Small-star additionally links u itself to m.
+    //
+    // m is attached with a per-u window min rather than the old
+    // groupBy(min)+join: the join shape exchanged gamma TWICE per
+    // half-round (once into the aggregate, once into the join) where the
+    // window computes m in the single exchange gamma needs anyway
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    // The small-star self-link (u -> m) rides the same pass as an exploded
+    // second emission — its duplicates (one per gamma row instead of one
+    // per u) are absorbed by the trailing distinct(), so the emitted edge
+    // SET is identical to the join formulation's. Skew profile is
+    // unchanged: a hot node u concentrated one join partition before and
+    // concentrates one window partition now.
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val gamma = e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
-      val mins = gamma.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val linked = gamma.join(mins, "u")
-        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
-        .select(col("v"), col("m"))
-      val withSelf =
-        if (large) linked
-        else linked.unionByName(mins.select(col("u").as("v"), col("m")))
-      withSelf.filter(col("v") =!= col("m"))
+      val g = gamma.withColumn("m",
+        least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+      val emitted =
+        if (large) g.filter(col("v") > col("u")).select(col("v"), col("m"))
+        else g.select(col("m"), explode(filter(array(
+            when(col("v") <= col("u"), col("v")), col("u")),
+            x => x.isNotNull)).as("v"))
+          .select(col("v"), col("m"))
+      emitted.filter(col("v") =!= col("m"))
         .select(col("m").as("src"), col("v").as("dst"))
         .distinct()
     }
@@ -875,10 +914,17 @@ object DedupOps {
           .filter(col("_occ") > maxBucketSize).select("band", "bucket")
         b.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       }
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Single-exchange pair expansion (see jaccardPairs): one groupBy of the
+    // bands replaces the former self-join's two exchanges+sorts of the same
+    // persisted frame; solo buckets (1 doc) expand to zero pairs exactly as
+    // the self-join emitted none. Group lists are bounded by maxBucketSize
+    // on the capped scale path.
+    bands.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+      .select(explode(flatten(transform(col("_ds"), (x, i) =>
+        transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
+      .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
       .distinct()
   }
 }

@@ -80,6 +80,8 @@ object Pipeline {
       .withColumn("host", kvv("bigip_mgmt_ip"))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
+      .withColumn("evt", kvv("dos_attack_event"))
+      .withColumn("sy_utc", toUtcOrEmpty(kvv("date_time"), col("offh")))
   }
 
   /** CEF base: header split (P5), arity guard (F5), one-pass extension KV
@@ -102,6 +104,10 @@ object Pipeline {
       .withColumn("host", kvv("dvc"))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
+      .withColumn("astat", dyn("attack_status"))
+      .withColumn("cef_utc", toUtcOrEmpty(kvv("rt"), col("offh")))
+      .withColumn("cef_vn", dyn("virtual_name"))
+      .withColumn("cef_vs", dyn("Virtual Server"))
   }
 
   // ---------------------------------------------------------------------
@@ -117,7 +123,7 @@ object Pipeline {
 
   /** syslog Attack Started -> attacks (bbn_syslog.rb:158-239). */
   private def colsSyslogStart: Seq[(String, Column)] = {
-    val utc = toUtcOrEmpty(kvv("date_time"), col("offh"))
+    val utc = col("sy_utc")
     common("Syslog", col("msg")) ++ Seq(
       "device_vendor" -> coalesce(kvv("device_vendor"), lit("")),
       "device_module" -> coalesce(kvv("device_product"), lit("")),
@@ -152,7 +158,7 @@ object Pipeline {
     * start==end date, ongoing=0.
     */
   private def colsSyslogSync: Seq[(String, Column)] = {
-    val utc = toUtcOrEmpty(kvv("date_time"), col("offh"))
+    val utc = col("sy_utc")
     common("Syslog", col("msg")) ++ Seq(
       "device_vendor" -> coalesce(kvv("device_vendor"), lit("")),
       "device_module" -> coalesce(kvv("device_product"), lit("")),
@@ -185,11 +191,11 @@ object Pipeline {
     * started (bbn_cef.rb:662-785); `afm` switches the module-dependent arms.
     */
   private def colsCefStart(afm: Boolean): Seq[(String, Column)] = {
-    val utc = toUtcOrEmpty(kvv("rt"), col("offh"))
+    val utc = col("cef_utc")
     val asmName = when(dyn("detection_mode") === "TPS Increased", "HTTP Flood")
       .when(dyn("detection_mode") === "Latency Increased", "HTTP Server Response Latency")
       .otherwise("")
-    val vcSrc = if (afm) dyn("virtual_name") else dyn("Virtual Server")
+    val vcSrc = if (afm) col("cef_vn") else col("cef_vs")
     val vc = coalesce(when(vcSrc =!= "", vcSrc), lit(""))
     common("CEF", col("text")) ++ Seq(
       "device_vendor" -> coalesce(element_at(col("spl"), 2), lit("")),
@@ -231,7 +237,7 @@ object Pipeline {
       case ("record_type", _) => "record_type" -> lit("attack_mitigation_stats")
       case other => other
     } ++ Seq(
-      "device_utc_time" -> toUtcOrEmpty(kvv("date_time"), col("offh")),
+      "device_utc_time" -> col("sy_utc"),
       "attack_id" -> coalesce(kvv("dos_attack_id").cast("long"), lit(0L)),
       "attack_type" -> lit(1),
       "attack_severity" -> lit(null).cast("int"),
@@ -261,7 +267,7 @@ object Pipeline {
     * the Flood/Sweep D1 arms fire; severity is the hash default 0.
     */
   private def colsCefAfmSample: Seq[(String, Column)] = {
-    val utc = toUtcOrEmpty(kvv("rt"), col("offh"))
+    val utc = col("cef_utc")
     val headerName = element_at(col("spl"), 6)
     val isDns = headerName === "DNS Event" && dyn("query_type").isNotNull
     val name = when(isDns, coalesce(dyn("dos_attack_name"), headerName)).otherwise(headerName)
@@ -302,9 +308,9 @@ object Pipeline {
     * stamped).
     */
   private def colsCefAsmStats: Seq[(String, Column)] = {
-    val status = dyn("attack_status")
+    val status = col("astat")
     val fromStart = status === "Attack started"
-    val utc = toUtcOrEmpty(kvv("rt"), col("offh"))
+    val utc = col("cef_utc")
     common("CEF", col("text")).map {
       case ("record_type", _) => "record_type" -> lit("attack_mitigation_stats")
       case other => other
@@ -343,7 +349,7 @@ object Pipeline {
       "remote_log_format" -> lit("Syslog"),
       "remote_log_payload" -> col("msg"),
       "device_utc_offset" -> col("offh"),
-      "device_utc_time" -> toUtcOrEmpty(kvv("date_time"), col("offh")),
+      "device_utc_time" -> col("sy_utc"),
       "device_vendor" -> coalesce(kvv("device_vendor"), lit("")),
       "device_module" -> coalesce(kvv("device_product"), lit("")),
       "device_version" -> coalesce(kvv("device_version"), lit("")),
@@ -364,7 +370,11 @@ object Pipeline {
   // Branch conditions (format dispatch + per-family guards)
   // ---------------------------------------------------------------------
 
-  private def evt: Column = kvv("dos_attack_event")
+  // `evt` is hoisted to a base column (syslogBase / parsedBase) so the five
+  // branch dispatch probes share ONE map lookup per row instead of five
+  // linear scans of the kv map (guide §4: eliminate duplicated expression
+  // work in the hot path).
+  private def evt: Column = col("evt")
   private def condSyStart: Column = evt === "Attack Started"
   private def condSySync: Column = evt === "TCP Syncookie"
   private def condSySample: Column = evt === "Attack Sampled"
@@ -573,7 +583,11 @@ object Pipeline {
   private def parsedBase(t: DataFrame, offsets: DataFrame): DataFrame = {
     val fmt = remoteLogFormat(col("text"))
     val isSy = col("fmt") === "Syslog"
-    val spl = split(col("text"), "\\|")
+    // `spl` is CEF-only work: guard it so syslog rows (the majority) never
+    // pay the regex split; element_at(null, i) stays null, so every
+    // downstream probe sees exactly the out-of-bounds semantics it saw on a
+    // 1-element split of a syslog line.
+    val spl = when(col("fmt") === "CEF", split(col("text"), "\\|"))
     val cefOk = col("fmt") === "CEF" && size(col("spl")) === 8 &&
       (isAfm || (isAsm && element_at(col("spl"), 5) === "DOS L7 attack"))
     t
@@ -591,6 +605,23 @@ object Pipeline {
       .withColumn("host", when(isSy, kvv("bigip_mgmt_ip")).otherwise(kvv("dvc")))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
+      // Shared per-row subexpressions hoisted to named columns (guide §4):
+      // the branch conditions and every family struct reference these as
+      // plain attributes, so the datetime parse + hot map probes run ONCE
+      // per row instead of once per referencing field — and the Generate's
+      // expression tree (hence its generated code) shrinks accordingly.
+      .withColumn("evt", kvv("dos_attack_event"))
+      .withColumn("astat", dyn("attack_status"))
+      .withColumn("sy_utc", toUtcOrEmpty(kvv("date_time"), col("offh")))
+      .withColumn("cef_utc", toUtcOrEmpty(kvv("rt"), col("offh")))
+      .withColumn("cef_vn", dyn("virtual_name"))
+      .withColumn("cef_vs", dyn("Virtual Server"))
+      // The CEF/AFM stop quirk's syslog-regex rescan of the raw message
+      // (bbn_cef.rb:541) is guarded to exactly the rows that need it and
+      // computed once, not once per probed key.
+      .withColumn("stop_sykv",
+        when(col("cef_ok") && isAfm && col("astat") === "Attack Stopped",
+          kvSyslog(col("text"))))
   }
 
   /** The 11 E1 branches in the reference's emission order, tagged by family
@@ -600,17 +631,18 @@ object Pipeline {
     */
   private def branchSpecs: Seq[(String, Column)] = {
     val isSy = col("fmt") === "Syslog"
-    val afmStatus = dyn("attack_status")
-    // CEF/AFM stop keys come from a SYSLOG-regex scan of the raw message
-    // (bbn_cef.rb:541) — computed lazily only on matching rows.
-    val afmStopKv = kvSyslog(col("text"))
+    val afmStatus = col("astat")
+    // CEF/AFM stop keys come from the SYSLOG-regex rescan of the raw message
+    // (bbn_cef.rb:541), hoisted to the guarded `stop_sykv` base column so it
+    // is computed once per matching row, not once per probed key.
+    val afmStopKv = col("stop_sykv")
     Seq(
       Attacks -> when(isSy && condSyStart, recStruct(colsSyslogStart)),
       Attacks -> when(isSy && condSySync, recStruct(colsSyslogSync)),
       Stats -> when(isSy && condSySample, recStruct(colsSyslogSample)),
       Traffic -> when(isSy && condTraffic, recStruct(colsTraffic)),
       Stop -> when(isSy && condSyStop,
-        stopStruct(kvv("dos_attack_id"), toUtcOrEmpty(kvv("date_time"), col("offh")))),
+        stopStruct(kvv("dos_attack_id"), col("sy_utc"))),
       Attacks -> when(col("cef_ok") && isAfm && afmStatus === "Attack Started", recStruct(colsCefStart(afm = true))),
       Stats -> when(col("cef_ok") && isAfm && afmStatus === "Attack Sampled", recStruct(colsCefAfmSample)),
       Stop -> when(col("cef_ok") && isAfm && afmStatus === "Attack Stopped",
@@ -620,7 +652,7 @@ object Pipeline {
       Stats -> when(col("cef_ok") && isAsm && afmStatus.isin("Attack started", "Mitigation stats", "Mitigation changed"),
         recStruct(colsCefAsmStats)),
       Stop -> when(col("cef_ok") && isAsm && afmStatus === "Attack ended",
-        stopStruct(dyn("attack_id"), toUtcOrEmpty(kvv("rt"), col("offh")))))
+        stopStruct(dyn("attack_id"), col("cef_utc"))))
   }
 
   /** The stateless single-pass parse+explode over (health-filtered)
@@ -653,8 +685,8 @@ object Pipeline {
     */
   def lifeFacts(t: DataFrame, offsets: DataFrame): DataFrame = {
     val isSy = col("fmt") === "Syslog"
-    val afmStatus = dyn("attack_status")
-    val afmStopKv = kvSyslog(col("text"))
+    val afmStatus = col("astat")
+    val afmStopKv = col("stop_sykv")
     def fact(aid: Column, isAtk: Boolean, utc: Column): Column =
       when(coalesce(aid.cast("long"), lit(0L)) =!= 0L,
         struct(aid.cast("long").as("attack_id"), lit(isAtk).as("is_atk"),
@@ -663,7 +695,7 @@ object Pipeline {
     val facts = array(
       when(isSy && condSyStart, fact(kvv("dos_attack_id"), isAtk = true, noUtc)),
       when(isSy && condSyStop,
-        fact(kvv("dos_attack_id"), isAtk = false, toUtcOrEmpty(kvv("date_time"), col("offh")))),
+        fact(kvv("dos_attack_id"), isAtk = false, col("sy_utc"))),
       when(col("cef_ok") && isAfm && afmStatus === "Attack Started",
         fact(dyn("attack_id"), isAtk = true, noUtc)),
       when(col("cef_ok") && isAfm && afmStatus === "Attack Stopped",
@@ -672,8 +704,20 @@ object Pipeline {
       when(col("cef_ok") && isAsm && afmStatus === "Attack started",
         fact(dyn("attack_id"), isAtk = true, noUtc)),
       when(col("cef_ok") && isAsm && afmStatus === "Attack ended",
-        fact(dyn("attack_id"), isAtk = false, toUtcOrEmpty(kvv("rt"), col("offh")))))
-    parsedBase(t, offsets)
+        fact(dyn("attack_id"), isAtk = false, col("cef_utc"))))
+    // Every fact branch requires the event/status value to be one of four
+    // literal phrases, and each of those phrases appears VERBATIM in the raw
+    // text of any row whose parsed kv/dyn value equals it (the KV scan only
+    // extracts substrings of the message; the quote strip removes characters
+    // around, never inside, these tokens — see Payloads' L(...) literals).
+    // `contains` is therefore a sound SUPERSET prefilter: it can keep extra
+    // rows (harmless — their branch conditions still fail) but can never
+    // drop a fact row. It turns the second full-corpus KV parse into a
+    // cheap substring scan plus a KV parse of only the start/stop rows
+    // (guide §2.3: cut the expensive work before it runs, not after).
+    val needles = Seq("Attack Started", "Attack Stopped", "Attack started", "Attack ended")
+    val pre = t.filter(needles.map(col("text").contains(_)).reduce(_ || _))
+    parsedBase(pre, offsets)
       .select(col("ts"), explode(filter(facts, b => b.isNotNull)).as("f"))
       .select(col("f.attack_id"), col("f.is_atk"), col("ts"), col("f.device_utc_time"))
   }
@@ -697,17 +741,50 @@ object Pipeline {
         max(when(!col("is_atk"), struct(col("ts"), col("device_utc_time"))))
           .getField("device_utc_time").as("_stop_utc"))
 
+  /** The lifecycle aggregate is per-EPISODE (one row per attack_id), orders
+    * of magnitude smaller than the per-turn records side, so it is joined as
+    * an explicit broadcast: the statically planned shape was a SortMergeJoin
+    * whose Exchange carried all ~57 wide record columns (AQE could only
+    * downgrade it to a local shuffle read AFTER paying the map-side shuffle
+    * write of the wide rows). Broadcasting plans zero exchanges on the wide
+    * side (guide §3.1). Scale knob: `spark.graft.lifecycle.broadcast`
+    * (default true). On a cluster where distinct attack episodes outgrow a
+    * broadcast relation (~10^8+ episodes / the 8 GB broadcast cap), set it
+    * to false to fall back to the shuffled join — the cutover is episode
+    * count, not corpus bytes, so 100 TB of turns with bounded episodes
+    * stays on the broadcast path.
+    */
+  private def maybeBroadcast(lifeAgg: DataFrame): DataFrame =
+    if (lifeAgg.sparkSession.conf.get("spark.graft.lifecycle.broadcast", "true").toBoolean)
+      broadcast(lifeAgg)
+    else lifeAgg
+
   /** Join the lifecycle aggregate back onto mixed-family records: a stop
     * closes its attack iff exactly ONE attacks row carries that attack_id
-    * (hits.total==1, bbn_syslog.rb:283-307). The agg side is per-episode
-    * (attacks, not turns), so AQE resolves the join as a broadcast; the
-    * wide rows never shuffle.
+    * (hits.total==1, bbn_syslog.rb:283-307).
+    *
+    * Join shape: shuffled-HASH with the per-episode aggregate as the build
+    * side (hint) instead of the old sort-merge — the ~57-column records side
+    * still exchanges once but no longer SORTS (guide §3.1: prefer hash when
+    * one side is small per partition; the build side is episodes, not
+    * turns). The exchange is kept deliberately even though a broadcast
+    * would be cheaper here: the declared q05/q11 queries end in a global
+    * orderBy, and a range sort over an UNSTAGED map-only child evaluates
+    * the whole parse twice (range-bound sampling pass + shuffle pass) — the
+    * exchange is the materialization barrier that keeps the parse at one
+    * pass. Router/Lineage/Streaming, which never global-sort above the
+    * join, take the broadcast path (applyLifecycleToAttacks).
     */
   def applyLifecycle(records: DataFrame, lifeAgg: DataFrame): DataFrame = {
     val closed = col("record_type") === Attacks &&
       col("_n_starts") === 1 && col("_stop_utc").isNotNull
+    val aggSide =
+      if (records.sparkSession.conf
+          .get("spark.graft.lifecycle.records.join", "broadcast") == "shuffle_hash")
+        lifeAgg.hint("shuffle_hash")
+      else maybeBroadcast(lifeAgg)
     records
-      .join(lifeAgg, Seq("attack_id"), "left")
+      .join(aggSide, Seq("attack_id"), "left")
       .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
       .withColumn("attack_end_date",
         when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
@@ -720,7 +797,7 @@ object Pipeline {
   def applyLifecycleToAttacks(atk: DataFrame, lifeAgg: DataFrame): DataFrame = {
     val closed = col("_n_starts") === 1 && col("_stop_utc").isNotNull
     atk
-      .join(lifeAgg, Seq("attack_id"), "left")
+      .join(maybeBroadcast(lifeAgg), Seq("attack_id"), "left")
       .withColumn("attack_ongoing", when(closed, 0).otherwise(col("attack_ongoing")))
       .withColumn("attack_end_date",
         when(closed, col("_stop_utc")).otherwise(col("attack_end_date")))
