@@ -50,11 +50,15 @@ object SparkEntry {
         .groupBy(remoteLogFormat(col("text")).as("remote_log_format"))
         .agg(count("*").as("n_turns"))
         .orderBy("remote_log_format")),
+    // the PRI integer is hoisted to one column so facility/severity (and
+    // the pushed-down not-null filter) derive from ONE regexp evaluation
+    // per row instead of three substituted copies; same output expressions
     "q03_pri" -> ((s, dir) =>
       Pipeline.transcriptsClean(s, dir)
+        .withColumn("_pri", pri(col("text")))
         .select(col("conv_id"), col("turn_idx"),
-          priFacility(col("text")).as("facility"),
-          priSeverity(col("text")).as("severity"))
+          (col("_pri") / lit(8)).cast("int").as("facility"),
+          pmod(col("_pri"), lit(8)).as("severity"))
         .filter(col("facility").isNotNull)
         .orderBy("conv_id", "turn_idx")),
     "q04_kv_probe" -> ((s, dir) => {
@@ -80,11 +84,13 @@ object SparkEntry {
         .groupBy("record_type", "remote_log_format", "attack_severity")
         .agg(count("*").as("n_rows"))
         .orderBy("record_type", "remote_log_format", "attack_severity")),
+    // same single-regexp PRI hoist as q03
     "q09_agg_facility" -> ((s, dir) =>
       Pipeline.transcriptsClean(s, dir)
+        .withColumn("_pri", pri(col("text")))
         .select(col("conv_id"),
-          priFacility(col("text")).as("facility"),
-          priSeverity(col("text")).as("severity"))
+          (col("_pri") / lit(8)).cast("int").as("facility"),
+          pmod(col("_pri"), lit(8)).as("severity"))
         .filter(col("facility").isNotNull)
         .groupBy("facility", "severity")
         .agg(count("*").as("n_turns"), countDistinct(col("conv_id")).as("n_convs"))

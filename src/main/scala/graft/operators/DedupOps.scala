@@ -128,21 +128,29 @@ object DedupOps {
         idx.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
     val sizes = capped.groupBy("doc_id").agg(count("*").as("n_shingles"))
-    // Pair generation as ONE exchange of the index: group each shingle's
-    // (distinct) doc list, sort it for a canonical order, and expand the
-    // a<b combinations with array lambdas — replacing the former
-    // self-join, which exchanged AND sorted the persisted index twice
-    // (both SMJ sides) to produce the same multiset of candidate rows
-    // (guide §2.4: keyed-alike operations share one exchange). Per-group
-    // fan-out is unchanged — f docs on a shingle still emit f(f-1)/2
-    // pairs — and the list itself is bounded by maxShingleDocFreq on the
-    // capped scale path.
-    val inter = capped.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
-      .select(explode(flatten(transform(col("_ds"), (x, i) =>
-        transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
-      .groupBy(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+    // Pair generation, shaped by whether the cap bounds per-shingle
+    // fan-out (measured A/B at sf0.1, see OPTIMIZATION_r06.md):
+    //   - CAPPED (the scale path): one groupBy of the index + sorted-array
+    //     combination expansion — one exchange instead of the self-join's
+    //     two (guide §2.4), with per-group arrays bounded by the cap.
+    //   - UNCAPPED (the q25 exact contract): keep the streaming self-join.
+    //     A hot shingle in f docs would materialize an f^2-struct array as
+    //     ONE value under the expansion (measured 2x slower at f<=236);
+    //     the join streams those pairs row-by-row through codegen.
+    // Both produce the identical candidate-pair multiset.
+    val inter = (
+      if (maxShingleDocFreq == Int.MaxValue)
+        capped.as("a").join(capped.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      else
+        capped.groupBy("shingle")
+          .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+          .select(explode(flatten(transform(col("_ds"), (x, i) =>
+            transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
+              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
+          .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+      ).groupBy("doc_a", "doc_b")
       .agg(count("*").as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
@@ -333,17 +341,24 @@ object DedupOps {
         idx.join(broadcast(hot), Seq("fp"), "left_anti")
       }
     val sizes = capped.groupBy("doc_id").agg(count("*").as("n_fp"))
-    // Same single-exchange pair expansion as jaccardPairs, but emitting
-    // BOTH directions per combination (containment is asymmetric), which
-    // is exactly the doc_a =!= doc_b row set the former two-exchange
-    // self-join produced.
-    val inter = capped.groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
-      .select(explode(flatten(flatten(transform(col("_ds"), (x, i) =>
-        transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
-          y => array(struct(x.as("doc_a"), y.as("doc_b")),
-            struct(y.as("doc_a"), x.as("doc_b")))))))).as("_p"))
-      .groupBy(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+    // Pair generation split exactly as in jaccardPairs (capped -> single-
+    // exchange expansion, uncapped q62 contract -> streaming self-join),
+    // here emitting BOTH directions per combination (containment is
+    // asymmetric) — the same doc_a =!= doc_b row multiset either way.
+    val inter = (
+      if (maxFpDocFreq == Int.MaxValue)
+        capped.as("a").join(capped.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      else
+        capped.groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+          .select(explode(flatten(flatten(transform(col("_ds"), (x, i) =>
+            transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
+              y => array(struct(x.as("doc_a"), y.as("doc_b")),
+                struct(y.as("doc_a"), x.as("doc_b")))))))).as("_p"))
+          .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+      ).groupBy("doc_a", "doc_b")
       .agg(count("*").as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "n_a"), "doc_a")
@@ -914,17 +929,25 @@ object DedupOps {
           .filter(col("_occ") > maxBucketSize).select("band", "bucket")
         b.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       }
-    // Single-exchange pair expansion (see jaccardPairs): one groupBy of the
-    // bands replaces the former self-join's two exchanges+sorts of the same
-    // persisted frame; solo buckets (1 doc) expand to zero pairs exactly as
-    // the self-join emitted none. Group lists are bounded by maxBucketSize
-    // on the capped scale path.
-    bands.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
-      .select(explode(flatten(transform(col("_ds"), (x, i) =>
-        transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
-      .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
-      .distinct()
+    // Pair generation split as in jaccardPairs: when the occupancy cap
+    // bounds bucket size, one groupBy of the bands + combination expansion
+    // replaces the self-join's two exchanges+sorts of the same persisted
+    // frame (solo buckets expand to zero pairs exactly as the self-join
+    // emitted none); the uncapped q26 contract keeps the streaming
+    // self-join, whose hot buckets would otherwise materialize f^2-struct
+    // arrays as single values.
+    (if (maxBucketSize == Int.MaxValue)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    else
+      bands.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("_ds"))
+        .select(explode(flatten(transform(col("_ds"), (x, i) =>
+          transform(slice(col("_ds"), i + lit(2), size(col("_ds"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
+        .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+    ).distinct()
   }
 }

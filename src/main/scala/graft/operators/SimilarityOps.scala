@@ -619,20 +619,27 @@ object SimilarityOps {
           .filter(col("_occ") > maxBucketSize).select("bucket")
         bucketed0.join(broadcast(hot), Seq("bucket"), "left_anti")
       }
-    // Single-exchange pair expansion (see DedupOps.jaccardPairs): group
-    // each bucket's (vec_id, embedding) rows once and expand the vec_a <
-    // vec_b combinations with array lambdas, instead of the former
-    // self-join that exchanged the embedding vectors TWICE (both SMJ
-    // sides). Per-group memory is bounded by maxBucketSize vectors on the
-    // capped scale path; the cosine arithmetic is unchanged.
-    bucketed.groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("_vs"))
-      .select(explode(flatten(transform(col("_vs"), (x, i) =>
-        transform(slice(col("_vs"), i + lit(2), size(col("_vs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("_p"))
-      .select(col("_p.a.vec_id").as("vec_a"), col("_p.b.vec_id").as("vec_b"),
-        cosine(col("_p.a.embedding"), col("_p.b.embedding")).as("cos"))
-      .filter(col("cos") >= threshold)
+    // Pair generation split as in DedupOps.jaccardPairs: the CAPPED scale
+    // path groups each bucket's (vec_id, embedding) rows once and expands
+    // the vec_a < vec_b combinations with array lambdas — one exchange of
+    // the vectors instead of the self-join's two, with per-group memory
+    // bounded by maxBucketSize vectors; the uncapped q29 contract keeps
+    // the streaming self-join (an over-full bucket would materialize an
+    // occupancy^2 pair array as one value). Cosine arithmetic unchanged.
+    (if (maxBucketSize == Int.MaxValue)
+      bucketed.as("x").join(bucketed.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+    else
+      bucketed.groupBy("bucket")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("_vs"))
+        .select(explode(flatten(transform(col("_vs"), (x, i) =>
+          transform(slice(col("_vs"), i + lit(2), size(col("_vs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("_p"))
+        .select(col("_p.a.vec_id").as("vec_a"), col("_p.b.vec_id").as("vec_b"),
+          cosine(col("_p.a.embedding"), col("_p.b.embedding")).as("cos"))
+    ).filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 }
