@@ -30,8 +30,13 @@ object F5Parse {
   val CefKvPattern: String =
     """[a-zA-Z0-9]+[=]+[a-zA-Z0-9:_\-/.\s]*(?=\s[a-zA-Z0-9]+[=]|$)"""
 
-  /** Strip double quotes before any syslog scan (bbn_syslog.rb:25). */
-  def stripQuotes(text: Column): Column = regexp_replace(text, "\"", "")
+  /** Strip double quotes before any syslog scan (bbn_syslog.rb:25).
+    * `translate` deletes the character with a plain byte scan — same output
+    * as the former regexp_replace on the single-char pattern, without the
+    * regex engine in the per-row hot path (guide §4: prefer the cheapest
+    * built-in that expresses the operation).
+    */
+  def stripQuotes(text: Column): Column = translate(text, "\"", "")
 
   private def kvMapFromPattern(text: Column, pattern: String): Column = {
     val matches = regexp_extract_all(text, lit(pattern), lit(0))

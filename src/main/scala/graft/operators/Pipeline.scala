@@ -75,8 +75,9 @@ object Pipeline {
       .filter(remoteLogFormat(col("text")) === "Syslog")
       .withColumn("msg", msg)
       .withColumn("kv", kvSyslog(col("msg")))
-      .withColumn("facility", priFacility(col("text")))
-      .withColumn("severity", priSeverity(col("text")))
+      .withColumn("_pri", pri(col("text")))
+      .withColumn("facility", (col("_pri") / lit(8)).cast("int"))
+      .withColumn("severity", pmod(col("_pri"), lit(8)))
       .withColumn("host", kvv("bigip_mgmt_ip"))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
@@ -600,8 +601,11 @@ object Pipeline {
         when(isSy, kvSyslog(col("msg")))
           .when(col("cef_ok"), kvCef(element_at(col("spl"), 8))))
       .withColumn("dyn", when(col("cef_ok"), pairedLabels(col("kv"))))
-      .withColumn("facility", when(isSy, priFacility(col("text"))))
-      .withColumn("severity", when(isSy, priSeverity(col("text"))))
+      // one PRI regexp per row; facility/severity derive from the column
+      // (identical values: null propagates through /8 and pmod)
+      .withColumn("_pri", when(isSy, pri(col("text"))))
+      .withColumn("facility", (col("_pri") / lit(8)).cast("int"))
+      .withColumn("severity", pmod(col("_pri"), lit(8)))
       .withColumn("host", when(isSy, kvv("bigip_mgmt_ip")).otherwise(kvv("dvc")))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
