@@ -536,11 +536,27 @@ object Pipeline {
         "attack_mitigation_action string, forward_for string, " +
         "forward_utc_time string, record_type string")
 
+  /** Canonical (all-nullable) struct type for every branch: casting each
+    * branch struct to the ONE shared type makes the 11 array elements'
+    * types EXACTLY equal, so the analyzer's complex-type coercion
+    * short-circuits on sameType instead of re-merging 11 x 50 fields that
+    * differ only in null flags on every fixed-point iteration (JFR showed
+    * TypeCoercionHelper.findTypeForComplex / regionMatchesCI as top driver
+    * frames during route planning). Field types are unchanged, so the
+    * per-field casts are identity at runtime.
+    */
+  private lazy val recStructType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(recSchema.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t),
+        nullable = true)
+    })
+
   private def recStruct(cols: Seq[(String, Column)]): Column = {
     val m = cols.toMap
     struct(recSchema.map { case (n, t) =>
       m.getOrElse(n, lit(null).cast(t)).as(n)
-    }: _*)
+    }: _*).cast(recStructType)
   }
 
   /** Internal stop pseudo-records for the single-pass W3 resolution
@@ -591,22 +607,32 @@ object Pipeline {
     val spl = when(col("fmt") === "CEF", split(col("text"), "\\|"))
     val cefOk = col("fmt") === "CEF" && size(col("spl")) === 8 &&
       (isAfm || (isAsm && element_at(col("spl"), 5) === "DOS L7 attack"))
+    // Stages are batched with withColumns (one analysis pass per stage
+    // instead of one per column): every Dataset transformation eagerly
+    // re-analyzes the whole accumulated tree, and with the ~3000-node
+    // branch expressions downstream the old 16-withColumn chain spent
+    // ~0.5 s of single-threaded driver time PER records() CONSTRUCTION
+    // (JFR: TypeCoercion/resolution frames) — paid inside every measured
+    // query run and route. Stage boundaries follow the data dependencies.
     t
       .withColumn("fmt", fmt)
       .filter(col("fmt") =!= "Unknown")
-      .withColumn("msg", when(col("fmt") === "Syslog", stripQuotes(col("text"))).otherwise(col("text")))
-      .withColumn("spl", spl)
-      .withColumn("cef_ok", cefOk)
+      .withColumns(Map(
+        "msg" -> when(col("fmt") === "Syslog", stripQuotes(col("text"))).otherwise(col("text")),
+        "spl" -> spl,
+        // one PRI regexp per row; facility/severity derive from the column
+        // (identical values: null propagates through /8 and pmod)
+        "_pri" -> when(isSy, pri(col("text")))))
+      .withColumns(Map(
+        "cef_ok" -> cefOk,
+        "facility" -> (col("_pri") / lit(8)).cast("int"),
+        "severity" -> pmod(col("_pri"), lit(8))))
       .withColumn("kv",
         when(isSy, kvSyslog(col("msg")))
           .when(col("cef_ok"), kvCef(element_at(col("spl"), 8))))
-      .withColumn("dyn", when(col("cef_ok"), pairedLabels(col("kv"))))
-      // one PRI regexp per row; facility/severity derive from the column
-      // (identical values: null propagates through /8 and pmod)
-      .withColumn("_pri", when(isSy, pri(col("text"))))
-      .withColumn("facility", (col("_pri") / lit(8)).cast("int"))
-      .withColumn("severity", pmod(col("_pri"), lit(8)))
-      .withColumn("host", when(isSy, kvv("bigip_mgmt_ip")).otherwise(kvv("dvc")))
+      .withColumns(Map(
+        "dyn" -> when(col("cef_ok"), pairedLabels(col("kv"))),
+        "host" -> when(isSy, kvv("bigip_mgmt_ip")).otherwise(kvv("dvc"))))
       .join(broadcast(offsets), Seq("host"), "left")
       .withColumn("offh", coalesce(col("utc_offset_h"), lit(0)))
       // Shared per-row subexpressions hoisted to named columns (guide §4):
@@ -614,12 +640,13 @@ object Pipeline {
       // plain attributes, so the datetime parse + hot map probes run ONCE
       // per row instead of once per referencing field — and the Generate's
       // expression tree (hence its generated code) shrinks accordingly.
-      .withColumn("evt", kvv("dos_attack_event"))
-      .withColumn("astat", dyn("attack_status"))
-      .withColumn("sy_utc", toUtcOrEmpty(kvv("date_time"), col("offh")))
-      .withColumn("cef_utc", toUtcOrEmpty(kvv("rt"), col("offh")))
-      .withColumn("cef_vn", dyn("virtual_name"))
-      .withColumn("cef_vs", dyn("Virtual Server"))
+      .withColumns(Map(
+        "evt" -> kvv("dos_attack_event"),
+        "astat" -> dyn("attack_status"),
+        "sy_utc" -> toUtcOrEmpty(kvv("date_time"), col("offh")),
+        "cef_utc" -> toUtcOrEmpty(kvv("rt"), col("offh")),
+        "cef_vn" -> dyn("virtual_name"),
+        "cef_vs" -> dyn("Virtual Server")))
       // The CEF/AFM stop quirk's syslog-regex rescan of the raw message
       // (bbn_cef.rb:541) is guarded to exactly the rows that need it and
       // computed once, not once per probed key.
