@@ -54,6 +54,29 @@ object DevRoute {
         .write.mode("overwrite").partitionBy("record_type", "tool")
         .parquet("/dev/shm/graft-devroute/staged")
     }
+    // decompose phase 2 (the lifecycle rewrite)
+    val staged = "/dev/shm/graft-devroute/staged"
+    time("p2 read-back plan build") {
+      val back = spark.read.parquet(staged)
+      val lifeAgg = operators.Pipeline.lifeAggOf(operators.Pipeline.lifeFactsFromStaged(back))
+      operators.Pipeline.applyLifecycleToAttacks(
+        back.filter(col("record_type") === operators.Pipeline.Attacks).drop("record_type"),
+        lifeAgg).queryExecution.executedPlan
+    }
+    time("p2 lifeAgg agg job (noop)") {
+      val back = spark.read.parquet(staged)
+      operators.Pipeline.lifeAggOf(operators.Pipeline.lifeFactsFromStaged(back))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("p2 full rewrite write") {
+      val back = spark.read.parquet(staged)
+      val lifeAgg = operators.Pipeline.lifeAggOf(operators.Pipeline.lifeFactsFromStaged(back))
+      operators.Pipeline.applyLifecycleToAttacks(
+          back.filter(col("record_type") === operators.Pipeline.Attacks).drop("record_type"),
+          lifeAgg)
+        .write.mode("overwrite").partitionBy("tool", "attack_severity")
+        .parquet("/dev/shm/graft-devroute/attacks")
+    }
     operators.Router.rmrf(java.nio.file.Paths.get("/dev/shm/graft-devroute"))
     spark.stop()
   }
