@@ -743,9 +743,15 @@ object DedupOps {
                             maxIter: Int = 25): DataFrame = {
     // undirected edge set, kept canonical (src < dst) between rounds;
     // localCheckpoint per round truncates the iterative lineage (see
-    // clustersFromEdges)
+    // clustersFromEdges). No input distinct: both in-repo candidate
+    // generators already emit distinct pairs, and the rounds tolerate
+    // duplicate input edges anyway (a duplicate cannot change a window
+    // min, and every round-final edge set is deduplicated), so the only
+    // effect of dup input would be one extra confirming round — not a
+    // wrong fixpoint. Dropping it saves a full exchange of the edge list
+    // before round 1.
     var edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
 
     // one star half-round: link each u's neighbors on one side of u to
@@ -774,9 +780,15 @@ object DedupOps {
             when(col("v") <= col("u"), col("v")), col("u")),
             x => x.isNotNull)).as("v"))
           .select(col("v"), col("m"))
-      emitted.filter(col("v") =!= col("m"))
+      val links = emitted.filter(col("v") =!= col("m"))
         .select(col("m").as("src"), col("v").as("dst"))
-        .distinct()
+      // Only the small-star (round-final) output is deduplicated: the
+      // large-star's duplicate (m, v) links are absorbed by the very next
+      // half-round's window min (duplicates in gamma cannot change a
+      // per-u minimum) and by this distinct — dropping the intermediate
+      // distinct removes one full exchange per round while the edge SET
+      // each ROUND produces is unchanged (checksum/fixpoint identical).
+      if (large) links else links.distinct()
     }
 
     // Convergence probe: order-independent (count, sum of 64-bit edge
