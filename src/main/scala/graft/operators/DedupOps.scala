@@ -716,8 +716,8 @@ object DedupOps {
     * O(log n) rounds; the per-round plan here (narrow key-label join +
     * min-agg) is the same building block.
     *
-    * The per-round `count()` is a scalar convergence probe on an aggregated
-    * frame (like Lineage.commitPartition), not data on the driver.
+    * The per-round convergence probe is a scalar degree aggregate (the
+    * star-forest test in clustersFromEdgesStar), not data on the driver.
     */
   def dupClusters(docs: DataFrame, k: Int = 16, r: Int = 4,
                   maxIter: Int = 25): DataFrame =
